@@ -1,0 +1,10 @@
+from rlipv2_tpu.engine.optim import build_optimizer, learning_rate_schedule
+from rlipv2_tpu.engine.train import TrainState, create_train_state, make_train_step
+
+__all__ = [
+    "build_optimizer",
+    "learning_rate_schedule",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+]

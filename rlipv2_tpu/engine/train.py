@@ -1,0 +1,144 @@
+"""pjit train step — the TPU-native replacement for the reference's
+`train_one_epoch` inner loop (reference: engine.py:45-201).
+
+Global-program SPMD: the step is written once over global arrays; the
+batch is sharded on the mesh's `data` axis, params are replicated, and
+XLA inserts the gradient all-reduce (the reference's DDP). The
+num_interactions normalizer is a global sum by construction (the reference
+all-reduces it explicitly at models/hoi.py:4738-4740).
+
+NaN-loss handling: the reference aborts training on non-finite loss
+(engine.py:125-128). In a jit graph we instead skip the update (zero the
+grads) and surface a `nonfinite` flag in the metrics for the host loop to
+act on.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rlipv2_tpu.config import LossConfig, ModelConfig, TrainConfig
+from rlipv2_tpu.engine.optim import build_optimizer, update_ema
+from rlipv2_tpu.losses.criterion import SetCriterionHOI
+from rlipv2_tpu.structures import HOITargets
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+    rng: jnp.ndarray
+
+
+class TrainBatch(NamedTuple):
+    pixels: jnp.ndarray  # (B, H, W, 3)
+    pixel_valid: jnp.ndarray  # (B, H, W)
+    text_emb: jnp.ndarray  # (B, T, l_dim)
+    text_valid: jnp.ndarray  # (B, T)
+    targets: HOITargets
+
+
+def create_train_state(
+    params,
+    tcfg: TrainConfig,
+    steps_per_epoch: int = 1000,
+    freeze_text_encoder: bool = False,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = build_optimizer(tcfg, params["params"], steps_per_epoch, freeze_text_encoder)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params["params"]),
+        # deep copy: EMA must not alias param buffers (donation requires
+        # distinct buffers per argument)
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, params) if tcfg.ema else None
+        ),
+        rng=jax.random.PRNGKey(tcfg.seed),
+    )
+    return state, tx
+
+
+def make_train_step(
+    model,
+    criterion: SetCriterionHOI,
+    tx: optax.GradientTransformation,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Returns a jitted train_step(state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, batch: TrainBatch, rng):
+        out = model.apply(
+            {"params": params},
+            batch.pixels,
+            batch.pixel_valid,
+            batch.text_emb,
+            batch.text_valid,
+            mcfg.max_obj_texts,
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        obj_valid = batch.text_valid[:, : mcfg.max_obj_texts]
+        verb_valid = batch.text_valid[:, mcfg.max_obj_texts :]
+        losses = criterion(out, batch.targets, obj_valid, verb_valid)
+        total = criterion.weighted_total(losses)
+        return total, losses
+
+    def train_step(state: TrainState, batch: TrainBatch):
+        rng, step_rng = jax.random.split(state.rng)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["params"], batch, step_rng
+        )
+        finite = jnp.isfinite(total)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params["params"]
+        )
+        new_params = optax.apply_updates(state.params["params"], updates)
+        params = {**state.params, "params": new_params}
+        ema = state.ema_params
+        if ema is not None:
+            ema = {
+                **ema,
+                "params": update_ema(ema["params"], new_params, tcfg.ema_decay),
+            }
+        metrics = {
+            "loss": total,
+            "nonfinite": (~finite).astype(jnp.float32),
+            "grad_norm": optax.global_norm(grads),
+            **losses,
+        }
+        return (
+            TrainState(state.step + 1, params, opt_state, ema, rng),
+            metrics,
+        )
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_sh = TrainBatch(
+        pixels=data,
+        pixel_valid=data,
+        text_emb=data,
+        text_valid=data,
+        targets=HOITargets(data, data, data, data, data, data),
+    )
+    state_sh = TrainState(repl, repl, repl, repl, repl)
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )

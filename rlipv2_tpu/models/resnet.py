@@ -75,7 +75,12 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
-STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    # 1-block-per-stage variant for fast tests / dryruns (same structure)
+    "resnet_test": (1, 1, 1, 1),
+}
 
 
 class ResNet(nn.Module):
@@ -120,6 +125,7 @@ class ResNet(nn.Module):
 
 BACKBONE_CHANNELS = {
     "resnet50": (512, 1024, 2048),
+    "resnet_test": (512, 1024, 2048),
     "resnet101": (512, 1024, 2048),
     "swin_tiny": (192, 384, 768),
     "swin_small": (192, 384, 768),

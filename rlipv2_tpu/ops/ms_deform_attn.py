@@ -51,11 +51,13 @@ def _level_sizes(spatial_shapes: SpatialShapes) -> tuple[tuple[int, ...], int]:
 def _corner_indices_and_weights(
     spatial_shapes: SpatialShapes,
     sampling_locations: jnp.ndarray,  # (B, Q, H, L, P, 2) in [0, 1]
+    level_local: bool = False,
 ):
     """Vectorized corner index/weight computation across all levels.
 
     Returns:
       flat_idx: (B, Q, H, L, P, 4) int32 indices into the flattened S axis
+        (or level-local row indices when level_local=True)
       weight:   (B, Q, H, L, P, 4) bilinear weights (0 where out-of-bounds)
     """
     cdtype = sampling_locations.dtype
@@ -87,7 +89,9 @@ def _corner_indices_and_weights(
         valid = (xi >= 0) & (xi < W[:, None]) & (yi >= 0) & (yi < H[:, None])
         xc = jnp.clip(xi, 0, W[:, None] - 1)
         yc = jnp.clip(yi, 0, H[:, None] - 1)
-        idx = starts[:, None] + yc * W[:, None] + xc
+        idx = yc * W[:, None] + xc
+        if not level_local:
+            idx = starts[:, None] + idx
         return idx, jnp.where(valid, wgt, jnp.zeros_like(wgt))
 
     i00, w00 = corner(x0i, y0i, (1.0 - fx) * (1.0 - fy))
@@ -100,15 +104,115 @@ def _corner_indices_and_weights(
     return flat_idx, weight
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def _separable_prepare(spatial_shapes, sampling_locations, attention_weights):
+    """(B,Q,H,L,P,*) -> six (B*H, Q, L*P) arrays for the separable kernel:
+    floor row/col indices and row/col bilinear weights, zeroed out of
+    bounds, with the attention weight folded into the column weights."""
+    loc = sampling_locations.astype(jnp.float32)
+    attn = attention_weights.astype(jnp.float32)
+    wh = jnp.asarray(
+        [[w, h] for h, w in spatial_shapes], dtype=jnp.float32
+    )  # (L, 2) as (W, H)
+    h_l = jnp.asarray([h for h, _ in spatial_shapes], dtype=jnp.float32)
+    w_l = jnp.asarray([w for _, w in spatial_shapes], dtype=jnp.float32)
+
+    xy = loc * wh[:, None, :] - 0.5  # (B, Q, H, L, P, 2)
+    x, y = xy[..., 0], xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    H = h_l[:, None]  # broadcast over trailing P axis
+    W = w_l[:, None]
+    wy0 = (1.0 - fy) * ((y0 >= 0) & (y0 <= H - 1))
+    wy1 = fy * ((y0 + 1 >= 0) & (y0 + 1 <= H - 1))
+    wx0 = (1.0 - fx) * ((x0 >= 0) & (x0 <= W - 1)) * attn
+    wx1 = fx * ((x0 + 1 >= 0) & (x0 + 1 <= W - 1)) * attn
+
+    def pack(a, dtype=jnp.float32):
+        B, Q, Hh, L, P = a.shape
+        return jnp.transpose(a, (0, 2, 1, 3, 4)).reshape(B * Hh, Q, L * P).astype(dtype)
+
+    return (
+        pack(y0, jnp.int32),
+        pack(x0, jnp.int32),
+        pack(wy0),
+        pack(wy1),
+        pack(wx0),
+        pack(wx1),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_pallas(spatial_shapes, value, loc, attn):
+    """Separable Pallas forward; value in the public (B, S, H, D) layout.
+    Returns (B, Q, H*D) in value.dtype."""
+    from rlipv2_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_separable
+
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, D)
+    iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
+    out = ms_deform_attn_separable(
+        iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
+    )  # (BH, Q, D) f32
+    out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
+    return out.astype(value.dtype)
+
+
+def _msda_pallas_fwd(spatial_shapes, value, loc, attn):
+    return _msda_pallas(spatial_shapes, value, loc, attn), (value, loc, attn)
+
+
+def _msda_pallas_bwd(spatial_shapes, res, dout):
+    # Backward rides the XLA gather formulation (numerically verified
+    # against torch grid_sample autograd); a Pallas backward kernel is a
+    # planned optimization.
+    value, loc, attn = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: _ms_deform_attn_xla(v, spatial_shapes, l, a),
+        value,
+        loc,
+        attn,
+    )
+    return vjp(dout.astype(value.dtype))
+
+
+_msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
 def ms_deform_attn(
     value: jnp.ndarray,  # (B, S, H, D)
     spatial_shapes: SpatialShapes,  # static ((H0, W0), ...)
     sampling_locations: jnp.ndarray,  # (B, Q, H, L, P, 2)
     attention_weights: jnp.ndarray,  # (B, Q, H, L, P)
+    impl: str = "auto",  # auto | pallas | xla
 ) -> jnp.ndarray:
-    """Fused multi-scale deformable attention. Returns (B, Q, H*D)."""
+    """Fused multi-scale deformable attention. Returns (B, Q, H*D).
+
+    impl='pallas' routes to the one-hot-matmul MXU kernel (TPU); 'xla' is
+    the gather-based formulation (any backend, and the numerics oracle);
+    'auto' picks pallas on TPU."""
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return _msda_pallas(
+            spatial_shapes, value, sampling_locations, attention_weights
+        )
+    return _ms_deform_attn_xla(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+
+
+def _ms_deform_attn_xla(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     sizes, total = _level_sizes(spatial_shapes)

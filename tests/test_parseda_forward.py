@@ -20,7 +20,7 @@ from rlipv2_tpu.models.parseda import RLIPParSeDA, init_model_params
 def tiny_config(**overrides) -> ModelConfig:
     fusion = FusionConfig(embed_dim=64, num_heads=4)
     return ModelConfig(
-        backbone=BackboneConfig(name="resnet50", num_outputs=3),
+        backbone=BackboneConfig(name="resnet_test", num_outputs=3),
         text_encoder=TextEncoderConfig(
             vocab_size=128,
             hidden_size=32,
