@@ -185,7 +185,10 @@ class RLIPParSeDA(nn.Module):
         B = pixels.shape[0]
         n_obj = c.max_obj_texts if n_obj_texts is None else n_obj_texts
 
-        feats = self.backbone(pixels.astype(dt))
+        if c.backbone.name.startswith("resnet"):
+            feats = self.backbone(pixels.astype(dt))
+        else:  # swin takes deterministic for drop-path
+            feats = self.backbone(pixels.astype(dt), deterministic)
 
         srcs = []
         masks = []

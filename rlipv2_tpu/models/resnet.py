@@ -133,4 +133,5 @@ BACKBONE_CHANNELS = {
     "swin_base_384": (256, 512, 1024),
     "swin_large": (384, 768, 1536),
     "swin_large_384": (384, 768, 1536),
+    "swin_test": (64, 128, 256),
 }
