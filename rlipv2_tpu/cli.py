@@ -1,0 +1,227 @@
+"""Command-line entry point.
+
+Capability parity with the reference launcher (reference: main.py:494-807):
+distributed init -> build model/criterion -> optimizer param groups ->
+dataset -> epoch loop with per-epoch eval, rolling checkpoints and JSON
+log lines. The ~150-flag argparse zoo collapses into presets + a few
+overrides (SURVEY.md §5 config note); `--variant` replaces the boolean
+model-selector flags.
+
+Multi-host TPU: `jax.distributed.initialize()` when JAX_COORDINATOR is set;
+the data mesh spans all devices and the train step is one pjit program —
+there is no NCCL/launcher machinery to configure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+from pathlib import Path
+
+
+def get_parser():
+    p = argparse.ArgumentParser("rlipv2_tpu", description=__doc__)
+    p.add_argument("--preset", default="rlip_parseda_v2_r50",
+                   help="model preset (see rlipv2_tpu.config.PRESETS)")
+    p.add_argument("--dataset_file", default="hico", choices=["hico", "vcoco", "oi_sgg", "vg"])
+    p.add_argument("--hoi_path", type=str, help="dataset root")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_backbone", type=float, default=1e-5)
+    p.add_argument("--lr_text_encoder", type=float, default=1e-5)
+    p.add_argument("--lr_drop", type=int, default=15)
+    p.add_argument("--schedule", default="step")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--eval", action="store_true", help="eval only")
+    p.add_argument("--resume", default="", help="orbax checkpoint dir")
+    p.add_argument("--pretrained", default="", help="torch .pth to convert & warm-start")
+    p.add_argument("--zero_shot_setting", default=None, choices=[None, "UC-RF", "UC-NF", "UO"])
+    p.add_argument("--few_shot_transfer", type=int, default=100, choices=[1, 10, 100])
+    p.add_argument("--use_nms_filter", action="store_true")
+    p.add_argument("--negative_text_sampling", type=int, default=0)
+    p.add_argument("--sampling_strategy", default="freq")
+    p.add_argument("--tokenizer_dir", default="", help="dir with vocab.json + merges.txt")
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--print_freq", type=int, default=50)
+    p.add_argument("--max_steps", type=int, default=None, help="debug: cap steps/epoch")
+    p.add_argument("--giou_verb_label", action="store_true", help="RPL soft labels")
+    p.add_argument("--triplet_filtering", action="store_true")
+    return p
+
+
+def build_everything(args):
+    import jax
+    import jax.numpy as jnp
+
+    from rlipv2_tpu.config import PRESETS, LossConfig, TrainConfig
+    from rlipv2_tpu.engine import create_train_state, make_train_step
+    from rlipv2_tpu.engine.loops import CachedTextEncoder
+    from rlipv2_tpu.losses import SetCriterionHOI
+    from rlipv2_tpu.models.parseda import RLIPParSeDA, init_model_params
+    from rlipv2_tpu.parallel import create_mesh
+
+    cfg = PRESETS[args.preset]()
+    tcfg = TrainConfig(
+        lr=args.lr,
+        lr_backbone=args.lr_backbone,
+        lr_text_encoder=args.lr_text_encoder,
+        epochs=args.epochs,
+        lr_drop=args.lr_drop,
+        schedule=args.schedule,
+        batch_size=args.batch_size,
+        ema=args.ema,
+        seed=args.seed,
+    )
+    lcfg = LossConfig(
+        giou_verb_label=args.giou_verb_label,
+        triplet_filtering=args.triplet_filtering,
+    )
+
+    model = RLIPParSeDA(cfg)
+    criterion = SetCriterionHOI(lcfg, subject_class=cfg.subject_class)
+
+    B = args.batch_size
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    params = init_model_params(
+        model,
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.ones((1, 64, 64), bool),
+        jnp.zeros((1, T, cfg.text_encoder.hidden_size)),
+        jnp.ones((1, T), bool),
+        cfg.max_obj_texts,
+        jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )
+    state, tx = create_train_state(params, tcfg, steps_per_epoch=1000)
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    step = make_train_step(model, criterion, tx, cfg, tcfg, mesh)
+
+    encode = jax.jit(
+        lambda p, i, m: model.apply(p, i, m, method=RLIPParSeDA.encode_text)
+    )
+    tokenizer = None
+    if args.tokenizer_dir:
+        from rlipv2_tpu.utils.tokenizer import RobertaTokenizer
+
+        tok_dir = Path(args.tokenizer_dir)
+        tokenizer = RobertaTokenizer.from_files(
+            tok_dir / "vocab.json", tok_dir / "merges.txt"
+        )
+
+    def encode_fn(texts):
+        import numpy as np
+
+        if tokenizer is None:
+            raise RuntimeError(
+                "label-text encoding needs --tokenizer_dir with vocab.json + merges.txt"
+            )
+        ids, mask = tokenizer.batch_encode(texts)
+        return np.asarray(encode(state.params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    return {
+        "cfg": cfg,
+        "tcfg": tcfg,
+        "model": model,
+        "criterion": criterion,
+        "state": state,
+        "step": step,
+        "mesh": mesh,
+        "text_encoder": CachedTextEncoder(encode_fn),
+    }
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    if os.environ.get("JAX_COORDINATOR"):
+        import jax
+
+        jax.distributed.initialize()
+
+    from rlipv2_tpu.data.hico import build_hico
+    from rlipv2_tpu.engine.checkpoint import CheckpointManager
+    from rlipv2_tpu.engine.loops import evaluate_hoi, train_one_epoch
+    from rlipv2_tpu.utils.logging import append_log_line
+
+    ctx = build_everything(args)
+    cfg, state, step = ctx["cfg"], ctx["state"], ctx["step"]
+
+    out_dir = Path(args.output_dir)
+    mgr = CheckpointManager(out_dir / "ckpt")
+    if args.resume:
+        restored = CheckpointManager(args.resume).restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from {args.resume} @ step {int(state.step)}")
+
+    if args.dataset_file != "hico":
+        raise NotImplementedError(
+            f"dataset {args.dataset_file} CLI wiring lands with its evaluator"
+        )
+    val_ds = build_hico(
+        "val", args.hoi_path, cfg.num_queries,
+        zero_shot_setting=args.zero_shot_setting,
+        few_shot_transfer=args.few_shot_transfer,
+    )
+
+    import jax
+
+    apply_fn = jax.jit(
+        lambda p, px, v, te, tv, n: ctx["model"].apply(p, px, v, te, tv, n),
+        static_argnums=(5,),
+    )
+
+    if args.eval:
+        stats = evaluate_hoi(
+            apply_fn, state.params, val_ds, cfg, ctx["text_encoder"],
+            batch_size=args.batch_size, use_nms_filter=args.use_nms_filter,
+        )
+        print(stats)
+        return stats
+
+    train_ds = build_hico(
+        "train", args.hoi_path, cfg.num_queries,
+        zero_shot_setting=args.zero_shot_setting,
+        few_shot_transfer=args.few_shot_transfer,
+    )
+    import random
+
+    rng = random.Random(args.seed)
+    for epoch in range(args.epochs):
+        indices = list(range(len(train_ds)))
+        rng.shuffle(indices)
+        t0 = time.time()
+        state, train_stats = train_one_epoch(
+            step, state, train_ds, indices, args.batch_size, cfg,
+            ctx["text_encoder"], epoch=epoch,
+            negative_text_sampling=args.negative_text_sampling,
+            obj_vocab=train_ds.object_text, verb_vocab=train_ds.verb_text,
+            print_freq=args.print_freq, max_steps=args.max_steps,
+        )
+        mgr.save(epoch, state, config=ctx["tcfg"])
+        stats = evaluate_hoi(
+            apply_fn, state.params, val_ds, cfg, ctx["text_encoder"],
+            batch_size=args.batch_size, use_nms_filter=args.use_nms_filter,
+        )
+        append_log_line(
+            out_dir,
+            {
+                "epoch": epoch,
+                "train": train_stats,
+                "test": stats,
+                "epoch_time": time.time() - t0,
+            },
+        )
+        print(f"epoch {epoch}: mAP {stats['mAP']:.4f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

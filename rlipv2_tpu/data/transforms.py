@@ -60,10 +60,12 @@ class HOITransform:
     boxes are transformed in place; `keep` masks propagate to labels and
     box_indices."""
 
-    def __init__(self, train: bool, scales=None, max_size: int = 1333, rng=None):
+    def __init__(self, train: bool, scales=None, max_size: int = 1333, rng=None,
+                 val_size: int = 800):
         self.train = train
         self.scales = scales or TRAIN_SCALES
         self.max_size = max_size
+        self.val_size = val_size
         self.rng = rng or random.Random()
 
     # -------------------------- primitives ---------------------------- #
@@ -131,7 +133,7 @@ class HOITransform:
                 img, target = self.random_size_crop(img, target)
                 img, target = self.random_resize(img, target, self.scales)
         else:
-            img, target = self.random_resize(img, target, [800])
+            img, target = self.random_resize(img, target, [self.val_size])
 
         img = img.astype(np.float32) / 255.0
         img = (img - IMAGENET_MEAN) / IMAGENET_STD

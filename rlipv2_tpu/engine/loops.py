@@ -1,0 +1,236 @@
+"""Host-side train/eval loops.
+
+Capability parity with the reference engine (reference: engine.py):
+  * train_one_epoch (engine.py:45-201): per step build the merged text
+    batch, encode label texts, run the jitted train step, log smoothed
+    metrics, abort on non-finite loss (engine.py:125-128 — here we raise
+    instead of sys.exit so callers can checkpoint first);
+  * evaluate_hoi_with_text (engine.py:360-468): encode the full label
+    vocabulary ONCE, two-phase forward collapsed into the jitted apply,
+    postprocess on device, accumulate host-side predictions + GTs, run the
+    evaluator. Multi-host: each host evaluates its shard and results are
+    gathered by the caller (process_allgather) — no pickle collectives.
+
+Text features are produced by a `text_encoder_fn(list[str]) -> (N, D)`
+callable (tokenize + RobertaModel.encode_text under jit) and cached per
+unique text across the epoch, which subsumes the reference's one-shot
+vocabulary encoding and is also what makes VG-style per-batch label spaces
+cheap.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlipv2_tpu.config import ModelConfig
+from rlipv2_tpu.data.pipeline import build_train_batch
+from rlipv2_tpu.engine.train import TrainBatch
+from rlipv2_tpu.eval.hico_eval import HICOEvaluator
+from rlipv2_tpu.eval.postprocess import postprocess_hoi, to_image_results
+from rlipv2_tpu.structures import HOITargets
+from rlipv2_tpu.utils.logging import MetricLogger
+
+
+class CachedTextEncoder:
+    """Memoizes pooled text features per unique label text."""
+
+    def __init__(self, encode_fn: Callable[[Sequence[str]], np.ndarray]):
+        self.encode_fn = encode_fn
+        self.cache: dict[str, np.ndarray] = {}
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        missing = [t for t in texts if t not in self.cache]
+        if missing:
+            feats = np.asarray(self.encode_fn(missing))
+            for t, f in zip(missing, feats):
+                self.cache[t] = f
+        return np.stack([self.cache[t] for t in texts])
+
+
+def _batch_from_arrays(arrays, text_emb, text_valid):
+    targets = HOITargets(
+        obj_labels=jnp.asarray(arrays["obj_labels"], jnp.int32),
+        sub_labels=jnp.asarray(arrays["sub_labels"], jnp.int32),
+        verb_labels=jnp.asarray(arrays["verb_labels"]),
+        sub_boxes=jnp.asarray(arrays["sub_boxes"]),
+        obj_boxes=jnp.asarray(arrays["obj_boxes"]),
+        valid=jnp.asarray(arrays["triplet_valid"]),
+    )
+    return TrainBatch(
+        pixels=jnp.asarray(arrays["pixels"]),
+        pixel_valid=jnp.asarray(arrays["pixel_valid"]),
+        text_emb=jnp.asarray(text_emb),
+        text_valid=jnp.asarray(text_valid),
+        targets=targets,
+    )
+
+
+def train_one_epoch(
+    step_fn,
+    state,
+    dataset,
+    indices: Sequence[int],
+    batch_size: int,
+    cfg: ModelConfig,
+    text_encoder: CachedTextEncoder,
+    epoch: int = 0,
+    negative_text_sampling: int = 0,
+    obj_vocab=None,
+    verb_vocab=None,
+    obj_freqs=None,
+    verb_freqs=None,
+    print_freq: int = 50,
+    logger: Optional[MetricLogger] = None,
+    rng=None,
+    max_steps: Optional[int] = None,
+    max_triplets: Optional[int] = None,
+):
+    import random as _random
+
+    rng = rng or _random.Random(epoch)
+    if max_triplets is None:
+        # the matcher needs M <= n_pairs (= num_queries // 2)
+        max_triplets = min(64, cfg.num_queries // 2)
+    logger = logger or MetricLogger()
+    n_batches = len(indices) // batch_size
+    if max_steps is not None:
+        n_batches = min(n_batches, max_steps)
+
+    def batches():
+        for i in range(n_batches):
+            yield indices[i * batch_size : (i + 1) * batch_size]
+
+    for batch_ids in logger.log_every(
+        _SizedIter(batches(), n_batches), print_freq, f"Epoch [{epoch}]"
+    ):
+        samples = [dataset[i] for i in batch_ids]
+        arrays, obj_slots, verb_slots = build_train_batch(
+            samples,
+            max_obj_texts=cfg.max_obj_texts,
+            max_verb_texts=cfg.max_verb_texts,
+            max_triplets=max_triplets,
+            negative_text_sampling=negative_text_sampling,
+            obj_vocab=obj_vocab,
+            verb_vocab=verb_vocab,
+            obj_freqs=obj_freqs,
+            verb_freqs=verb_freqs,
+            rng=rng,
+        )
+        slot_texts = list(obj_slots) + list(verb_slots)
+        feats = text_encoder(
+            [t if t else "." for t in slot_texts]  # pad slots encode '.'
+        )
+        B = arrays["pixels"].shape[0]
+        text_emb = np.tile(feats[None], (B, 1, 1))
+        text_valid = np.concatenate(
+            [arrays["obj_text_valid"], arrays["verb_text_valid"]], axis=1
+        )
+        batch = _batch_from_arrays(arrays, text_emb, text_valid)
+        state, metrics = step_fn(state, batch)
+        loss = float(metrics["loss"])
+        if not math.isfinite(loss):
+            raise FloatingPointError(f"non-finite loss {loss} at epoch {epoch}")
+        logger.update(
+            loss=loss,
+            grad_norm=float(metrics["grad_norm"]),
+            obj_ce=float(metrics["loss_obj_ce"]),
+            verb_ce=float(metrics["loss_verb_ce"]),
+        )
+    return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+class _SizedIter:
+    def __init__(self, it, n):
+        self.it, self.n = iter(it), n
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        return self.it
+
+
+def evaluate_hoi(
+    apply_fn,
+    params,
+    dataset,
+    cfg: ModelConfig,
+    text_encoder: CachedTextEncoder,
+    batch_size: int = 8,
+    bucket=(832, 1344),
+    subject_category_id: int = 0,
+    zero_shot_subject_filter: bool = False,
+    use_nms_filter: bool = False,
+    max_images: Optional[int] = None,
+):
+    """Full-vocabulary HICO-style evaluation. apply_fn(params, pixels,
+    valid, text_emb, text_valid, n_obj) -> output dict."""
+    obj_texts = list(dataset.object_text) + ["no objects"]
+    verb_texts = list(dataset.verb_text)
+    n_obj = len(obj_texts)
+    n_verb = len(verb_texts)
+    feats = text_encoder(obj_texts + verb_texts)  # (n_obj+n_verb, D)
+
+    n_images = len(dataset) if max_images is None else min(max_images, len(dataset))
+    preds, gts = [], []
+    for start in range(0, n_images, batch_size):
+        ids = range(start, min(start + batch_size, n_images))
+        samples = [dataset[i] for i in ids]
+        images = [s[0] for s in samples]
+        targets = [s[1] for s in samples]
+        B = len(images)
+        H, W = bucket
+        pixels = np.zeros((B, H, W, 3), np.float32)
+        valid = np.zeros((B, H, W), bool)
+        for b, im in enumerate(images):
+            h, w = im.shape[:2]
+            pixels[b, :h, :w] = im
+            valid[b, :h, :w] = True
+        text_emb = np.tile(feats[None], (B, 1, 1))
+        text_valid = np.ones((B, n_obj + n_verb), bool)
+
+        out = apply_fn(
+            params,
+            jnp.asarray(pixels),
+            jnp.asarray(valid),
+            jnp.asarray(text_emb),
+            jnp.asarray(text_valid),
+            n_obj,
+        )
+        orig = jnp.asarray(
+            np.stack([t["orig_size"] for t in targets]).astype(np.float32)
+        )
+        post = postprocess_hoi(
+            out, orig, subject_class=zero_shot_subject_filter
+        )
+        results = to_image_results(
+            post, subject_category_id, zero_shot_subject_filter
+        )
+        preds.extend(results)
+        gts.extend(
+            {
+                "filename": t["filename"],
+                "boxes": np.asarray(t["boxes"]),
+                "labels": np.asarray(t["labels"]),
+                "hois": np.asarray(t["hois"]),
+            }
+            for t in targets
+        )
+
+    correct_mat = dataset.correct_mat
+    if correct_mat is None:
+        correct_mat = np.ones((n_verb, n_obj - 1), np.float64)
+    evaluator = HICOEvaluator(
+        preds,
+        gts,
+        dataset.rare_triplets,
+        dataset.non_rare_triplets,
+        correct_mat,
+        use_nms_filter=use_nms_filter,
+    )
+    return evaluator.evaluate()

@@ -1,0 +1,130 @@
+"""Full-slice smoke: synthetic HICO data -> train_one_epoch -> evaluate_hoi
+with the tiny model. Exercises every layer of the framework."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlipv2_tpu.config import LossConfig, TrainConfig
+from rlipv2_tpu.data.hico import HICODataset
+from rlipv2_tpu.data.transforms import HOITransform
+from rlipv2_tpu.engine import create_train_state, make_train_step
+from rlipv2_tpu.engine.loops import CachedTextEncoder, evaluate_hoi, train_one_epoch
+from rlipv2_tpu.losses import SetCriterionHOI
+from rlipv2_tpu.models.parseda import RLIPParSeDA, init_model_params
+from test_data_pipeline import synth_hico  # fixture reuse  # noqa: F401
+from test_parseda_forward import tiny_config
+
+PIL = pytest.importorskip("PIL")
+
+
+def hash_tokenize(texts, vocab_size=120, maxlen=6):
+    """Deterministic toy tokenizer for tests."""
+    ids = np.ones((len(texts), maxlen), np.int32)
+    mask = np.zeros((len(texts), maxlen), np.int32)
+    for i, t in enumerate(texts):
+        toks = [2 + (hash(w) % (vocab_size - 3)) for w in t.split()][: maxlen - 1]
+        toks = [0] + toks
+        ids[i, : len(toks)] = toks
+        mask[i, : len(toks)] = 1
+    return ids, mask
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = tiny_config()
+    model = RLIPParSeDA(cfg)
+    B, H, W = 1, 64, 64
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    params = init_model_params(
+        model,
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, H, W, 3)),
+        jnp.ones((B, H, W), bool),
+        jnp.zeros((B, T, cfg.text_encoder.hidden_size)),
+        jnp.ones((B, T), bool),
+        cfg.max_obj_texts,
+        jnp.ones((2, 6), jnp.int32),
+        jnp.ones((2, 6), jnp.int32),
+    )
+    encode = jax.jit(
+        lambda p, i, m: model.apply(p, i, m, method=RLIPParSeDA.encode_text)
+    )
+
+    def encode_fn(texts):
+        ids, mask = hash_tokenize(texts)
+        return np.asarray(encode(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    return cfg, model, params, CachedTextEncoder(encode_fn)
+
+
+def small_vocab_dataset(synth_hico, train):  # noqa: F811
+    root, anno_file = synth_hico
+    ds = HICODataset(
+        "train" if train else "val",
+        root / "images",
+        anno_file,
+        transforms=HOITransform(train=False, val_size=96, max_size=160),
+    )
+    # shrink the label space so tiny max_obj_texts=5 / max_verb_texts=7 fit
+    ds.object_text = ds.object_text[:4]
+    ds.verb_text = ds.verb_text[:7]
+    return ds
+
+
+def remap_small(ds):
+    """Clamp annotation label indices into the shrunk vocab."""
+    for anno in ds.annotations:
+        for a in anno["annotations"]:
+            a["category_id"] = [1, 2, 3, 4][a["category_id"] % 4]
+        for h in anno["hoi_annotation"]:
+            h["category_id"] = 1 + (h["category_id"] % 7)
+
+
+def test_train_then_eval(tiny_setup, synth_hico):  # noqa: F811
+    cfg, model, params, text_encoder = tiny_setup
+
+    train_ds = small_vocab_dataset(synth_hico, train=True)
+    remap_small(train_ds)
+    tcfg = TrainConfig(lr=1e-4, ema=False, batch_size=2)
+    criterion = SetCriterionHOI(LossConfig())
+    state, tx = create_train_state(params, tcfg, steps_per_epoch=2)
+    step = make_train_step(model, criterion, tx, cfg, tcfg, mesh=None)
+
+    state, metrics = train_one_epoch(
+        step,
+        state,
+        train_ds,
+        indices=list(range(len(train_ds))),
+        batch_size=2,
+        cfg=cfg,
+        text_encoder=text_encoder,
+        epoch=0,
+        print_freq=1,
+    )
+    assert np.isfinite(metrics["loss"])
+
+    val_ds = small_vocab_dataset(synth_hico, train=False)
+    remap_small(val_ds)
+    val_ds.rare_triplets = []
+    val_ds.non_rare_triplets = []
+
+    apply_fn = jax.jit(
+        lambda p, px, v, te, tv, n: model.apply(p, px, v, te, tv, n),
+        static_argnums=(5,),
+    )
+    results = evaluate_hoi(
+        apply_fn,
+        state.params,
+        val_ds,
+        cfg,
+        text_encoder,
+        batch_size=2,
+        bucket=(512, 512),
+        max_images=2,
+    )
+    assert set(results) == {"mAP", "mAP rare", "mAP non-rare", "mean max recall"}
+    assert 0.0 <= results["mAP"] <= 1.0
