@@ -252,46 +252,9 @@ class HICOEvaluator:
             self.score[triplet].append(pred_hoi["score"])
 
     def compute_iou_mat(self, bbox_list1, bbox_list2):
-        iou_mat = np.zeros((len(bbox_list1), len(bbox_list2)))
-        if len(bbox_list1) == 0 or len(bbox_list2) == 0:
-            return {}, {}
-        for i, bbox1 in enumerate(bbox_list1):
-            for j, bbox2 in enumerate(bbox_list2):
-                iou_mat[i, j] = self.compute_iou(bbox1, bbox2)
-        iou_mat_ov = iou_mat.copy()
-        iou_mat[iou_mat >= self.overlap_iou] = 1
-        iou_mat[iou_mat < self.overlap_iou] = 0
+        from rlipv2_tpu.eval.common import compute_iou_mat
 
-        match_pairs = np.nonzero(iou_mat)
-        match_pairs_dict = {}
-        match_pair_overlaps = {}
-        if iou_mat.max() > 0:
-            for i, pred_id in enumerate(match_pairs[1]):
-                if pred_id not in match_pairs_dict:
-                    match_pairs_dict[pred_id] = []
-                    match_pair_overlaps[pred_id] = []
-                match_pairs_dict[pred_id].append(match_pairs[0][i])
-                match_pair_overlaps[pred_id].append(iou_mat_ov[match_pairs[0][i], pred_id])
-        return match_pairs_dict, match_pair_overlaps
-
-    @staticmethod
-    def compute_iou(bbox1, bbox2):
-        """Pascal-style (+1) IoU, zero unless category ids match — exactly
-        the reference's class-aware box IoU (datasets/hico_eval.py:464-492,
-        note the swapped x/y naming there is cosmetic)."""
-        if bbox1["category_id"] != bbox2["category_id"]:
-            return 0.0
-        r1, r2 = bbox1["bbox"], bbox2["bbox"]
-        s1 = (r1[2] - r1[0] + 1) * (r1[3] - r1[1] + 1)
-        s2 = (r2[2] - r2[0] + 1) * (r2[3] - r2[1] + 1)
-        left = max(r1[1], r2[1])
-        right = min(r1[3], r2[3])
-        top = max(r1[0], r2[0])
-        bottom = min(r1[2], r2[2])
-        if left >= right or top >= bottom:
-            return 0.0
-        inter = (right - left + 1) * (bottom - top + 1)
-        return inter / (s1 + s2 - inter)
+        return compute_iou_mat(bbox_list1, bbox_list2, self.overlap_iou)
 
     # ---------------------- pairwise triplet NMS ----------------------- #
 
