@@ -37,6 +37,13 @@ from rlipv2_tpu.data.vocab import (
 
 
 class HICODataset:
+    rel_key = "hoi_annotation"
+    num_verb_classes = len(VALID_VERB_IDS)
+    # V-COCO mode: GT object_id -1 means "no object" -> no-object class +
+    # all-zero object box (reference: datasets/vcoco.py:95-135)
+    allow_no_object_pairs = False
+    no_object_class = len(VALID_OBJ_IDS)
+
     def __init__(
         self,
         image_set: str,  # train | val
@@ -61,7 +68,7 @@ class HICODataset:
         if image_set == "train":
             self.ids = []
             for idx, anno in enumerate(self.annotations):
-                for hoi in anno["hoi_annotation"]:
+                for hoi in anno[self.rel_key]:
                     if hoi["subject_id"] >= len(anno["annotations"]) or hoi[
                         "object_id"
                     ] >= len(anno["annotations"]):
@@ -76,6 +83,12 @@ class HICODataset:
         self.rare_triplets: list = []
         self.non_rare_triplets: list = []
         self.correct_mat: Optional[np.ndarray] = None
+
+    def _obj_index(self, category_id: int) -> int:
+        return VALID_OBJ_IDS.index(category_id)
+
+    def _verb_index(self, category_id: int) -> int:
+        return VALID_VERB_IDS.index(category_id)
 
     def __len__(self):
         return len(self.ids)
@@ -98,7 +111,7 @@ class HICODataset:
             [obj["bbox"] for obj in ann_list], np.float32
         ).reshape(-1, 4)
         classes = np.asarray(
-            [VALID_OBJ_IDS.index(obj["category_id"]) for obj in ann_list], np.int64
+            [self._obj_index(obj["category_id"]) for obj in ann_list], np.int64
         )
 
         target = {"orig_size": np.array([h, w], np.int64), "filename": anno["file_name"]}
@@ -117,21 +130,28 @@ class HICODataset:
 
             obj_labels, verb_labels, sub_boxes, obj_boxes = [], [], [], []
             pairs = []
-            for hoi in anno["hoi_annotation"]:
-                if hoi["subject_id"] not in kept or hoi["object_id"] not in kept:
+            for hoi in anno[self.rel_key]:
+                no_obj = self.allow_no_object_pairs and hoi["object_id"] == -1
+                if hoi["subject_id"] not in kept or (
+                    not no_obj and hoi["object_id"] not in kept
+                ):
                     continue
                 pair = (hoi["subject_id"], hoi["object_id"])
-                v_idx = VALID_VERB_IDS.index(hoi["category_id"])
+                v_idx = self._verb_index(hoi["category_id"])
                 if pair in pairs:
                     verb_labels[pairs.index(pair)][v_idx] = 1.0
                 else:
                     pairs.append(pair)
-                    obj_labels.append(t["labels"][kept.index(hoi["object_id"])])
-                    vl = np.zeros(len(VALID_VERB_IDS), np.float32)
+                    if no_obj:
+                        obj_labels.append(self.no_object_class)
+                        obj_boxes.append(np.zeros(4, np.float32))
+                    else:
+                        obj_labels.append(t["labels"][kept.index(hoi["object_id"])])
+                        obj_boxes.append(t["boxes"][kept.index(hoi["object_id"])])
+                    vl = np.zeros(self.num_verb_classes, np.float32)
                     vl[v_idx] = 1.0
                     verb_labels.append(vl)
                     sub_boxes.append(t["boxes"][kept.index(hoi["subject_id"])])
-                    obj_boxes.append(t["boxes"][kept.index(hoi["object_id"])])
 
             n = len(pairs)
             target.update(
@@ -140,7 +160,7 @@ class HICODataset:
                 verb_labels=(
                     np.stack(verb_labels)
                     if n
-                    else np.zeros((0, len(VALID_VERB_IDS)), np.float32)
+                    else np.zeros((0, self.num_verb_classes), np.float32)
                 ),
                 sub_boxes=np.asarray(sub_boxes, np.float32).reshape(n, 4),
                 obj_boxes=np.asarray(obj_boxes, np.float32).reshape(n, 4),
@@ -153,8 +173,8 @@ class HICODataset:
         img, _ = self.transforms(img, {"boxes": np.zeros((0, 4), np.float32), "labels": np.zeros(0, np.int64)})
         hois = np.asarray(
             [
-                (h_["subject_id"], h_["object_id"], VALID_VERB_IDS.index(h_["category_id"]))
-                for h_ in anno["hoi_annotation"]
+                (h_["subject_id"], h_["object_id"], self._verb_index(h_["category_id"]))
+                for h_ in anno[self.rel_key]
             ],
             np.int64,
         ).reshape(-1, 3)
