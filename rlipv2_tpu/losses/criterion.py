@@ -315,6 +315,84 @@ class SetCriterionHOI:
         keep = v & (total <= thr)
         return targets._replace(valid=keep)
 
+    def tagger_losses(
+        self,
+        outputs: dict,
+        targets: HOITargets,
+        obj_valid: jnp.ndarray,
+        verb_valid: jnp.ndarray,
+    ) -> dict:
+        """Slot-aligned R-Tagger reconstruction losses (reference:
+        models/hoi.py:4036-4118 `loss_verb_tagger`): predictions at pair
+        slot m reconstruct GT pair m — no matching. Box L1+GIoU, sub/obj CE
+        (eos on the last slot), verb BCE or focal. Requires
+        subject_class=True outputs."""
+        c = self.cfg
+        v = targets.valid.astype(jnp.float32)  # (B, M)
+        num = jnp.maximum(v.sum(), 1.0)
+
+        src_sub = outputs["pred_sub_boxes"].astype(jnp.float32)
+        src_obj = outputs["pred_obj_boxes"].astype(jnp.float32)
+        exist_obj = jnp.any(targets.obj_boxes != 0, axis=-1).astype(jnp.float32) * v
+
+        l1_sub = jnp.abs(src_sub - targets.sub_boxes).sum(-1) * v
+        l1_obj = jnp.abs(src_obj - targets.obj_boxes).sum(-1) * exist_obj
+        g_sub = jnp.diagonal(
+            generalized_box_iou(
+                box_cxcywh_to_xyxy(src_sub), box_cxcywh_to_xyxy(targets.sub_boxes)
+            ),
+            axis1=1, axis2=2,
+        )
+        g_obj = jnp.diagonal(
+            generalized_box_iou(
+                box_cxcywh_to_xyxy(src_obj), box_cxcywh_to_xyxy(targets.obj_boxes)
+            ),
+            axis1=1, axis2=2,
+        )
+        losses = {
+            "loss_sub_bbox": l1_sub.sum() / num,
+            "loss_obj_bbox": l1_obj.sum() / (exist_obj.sum() + 1e-4),
+            "loss_sub_giou": ((1.0 - g_sub) * v).sum() / num,
+            "loss_obj_giou": ((1.0 - g_obj) * exist_obj).sum() / (exist_obj.sum() + 1e-4),
+        }
+
+        # sub/obj CE at valid slots only (weighted mean like F.cross_entropy)
+        def slot_ce(logits, labels):
+            B, M, T = logits.shape
+            logp = _masked_log_softmax(logits.astype(jnp.float32), obj_valid)
+            nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), -1)[..., 0]
+            w = jnp.where(labels == T - 1, c.eos_coef, 1.0) * v
+            return (nll * w).sum() / jnp.maximum(w.sum(), 1e-4)
+
+        losses["loss_obj_ce"] = slot_ce(
+            outputs["pred_obj_logits"], targets.obj_labels
+        ) + slot_ce(outputs["pred_sub_logits"], targets.sub_labels)
+
+        verb_logits = outputs["pred_verb_logits"].astype(jnp.float32)
+        target_v = targets.verb_labels.astype(jnp.float32) * v[..., None]
+        mask = (verb_valid[:, None, :] & targets.valid[..., None]).astype(jnp.float32)
+        if c.verb_loss_type == "bce":
+            bce = (
+                jnp.maximum(verb_logits, 0)
+                - verb_logits * target_v
+                + jnp.log1p(jnp.exp(-jnp.abs(verb_logits)))
+            )
+            losses["loss_verb_ce"] = (bce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        else:
+            pred = jax.nn.sigmoid(verb_logits)
+            eps = 1e-6
+            pred = jnp.clip(pred, eps, 1 - eps)
+            pos = (target_v == 1).astype(jnp.float32) * mask
+            neg = (target_v < 1).astype(jnp.float32) * mask
+            pos_l = jnp.log(pred) * (1 - pred) ** 2 * pos
+            neg_l = jnp.log(1 - pred) * pred**2 * (1 - target_v) ** 4 * neg
+            npos = pos.sum()
+            total = pos_l.sum() + neg_l.sum()
+            losses["loss_verb_ce"] = jnp.where(
+                npos > 0, -total / jnp.maximum(npos, 1.0), -neg_l.sum()
+            )
+        return losses
+
     def weighted_total(self, losses: dict) -> jnp.ndarray:
         """Weighted sum matching the reference's weight_dict semantics
         (reference: models/detr.py:571-621 + engine.py:106-109)."""

@@ -156,6 +156,10 @@ class RLIPParSeDA(nn.Module):
         )
 
         self.projection_text = nn.Dense(t.hidden_dim, dtype=dt, name="projection_text")
+        # R-Tagger box-query projection (reference coord_proj,
+        # models/ParSetransformer.py:507-518); params exist only when the
+        # tagger path is traced at init
+        self.coord_proj = nn.Dense(t.hidden_dim, dtype=dt, name="coord_proj")
         self.bias_obj_a = self.param(
             "bias_obj_a", nn.initializers.zeros, (t.hidden_dim,), jnp.float32
         )
@@ -170,20 +174,20 @@ class RLIPParSeDA(nn.Module):
         _, pooled = self.text_encoder(input_ids, attention_mask, deterministic)
         return pooled
 
-    def __call__(
+    def _encode(
         self,
-        pixels: jnp.ndarray,  # (B, H, W, 3) normalized
-        pixel_valid: jnp.ndarray,  # (B, H, W) bool, True = real pixel
-        text_emb: jnp.ndarray,  # (B, T, 768) pooled label features
-        text_valid: jnp.ndarray,  # (B, T) bool, True = real label slot
-        n_obj_texts: Optional[int] = None,  # static split point; default cfg
+        pixels: jnp.ndarray,
+        pixel_valid: jnp.ndarray,
+        text_emb: jnp.ndarray,
+        text_valid: jnp.ndarray,
         deterministic: bool = True,
     ):
+        """backbone -> input projections -> ALIF fusion -> per-decoder-layer
+        text memories. Returns an encode-state dict."""
         c = self.cfg
         t = c.transformer
         dt = self.compute_dtype
         B = pixels.shape[0]
-        n_obj = c.max_obj_texts if n_obj_texts is None else n_obj_texts
 
         if c.backbone.name.startswith("resnet"):
             feats = self.backbone(pixels.astype(dt))
@@ -257,6 +261,34 @@ class RLIPParSeDA(nn.Module):
             elif F > t.dec_layers:
                 text_dec = text_dec[-t.dec_layers :]
 
+        return {
+            "img_memory": img_memory,
+            "spatial_shapes": spatial_shapes,
+            "valid_ratios": valid_ratios,
+            "mask_flat": mask_flat,
+            "text_dec": text_dec,
+            "text_resized_last": (
+                text_resized if text_resized.ndim == 3 else text_resized[-1]
+            ),
+        }
+
+    def __call__(
+        self,
+        pixels: jnp.ndarray,  # (B, H, W, 3) normalized
+        pixel_valid: jnp.ndarray,  # (B, H, W) bool, True = real pixel
+        text_emb: jnp.ndarray,  # (B, T, 768) pooled label features
+        text_valid: jnp.ndarray,  # (B, T) bool, True = real label slot
+        n_obj_texts: Optional[int] = None,  # static split point; default cfg
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        n_obj = c.max_obj_texts if n_obj_texts is None else n_obj_texts
+
+        enc = self._encode(pixels, pixel_valid, text_emb, text_valid, deterministic)
+
         # --- DAB queries ---
         nq = c.num_queries
         np_ = nq // 2
@@ -264,6 +296,78 @@ class RLIPParSeDA(nn.Module):
         sub_ref = jnp.broadcast_to(refs[None, :np_], (B, np_, 4))
         obj_ref = jnp.broadcast_to(refs[None, np_:], (B, np_, 4))
         tgt = jnp.broadcast_to(self.tgt_embed.astype(dt)[None], (B, nq, t.hidden_dim))
+
+        return self._decode_and_classify(
+            enc, tgt, sub_ref, obj_ref, n_obj, deterministic
+        )
+
+    def forward_tagger(
+        self,
+        pixels: jnp.ndarray,
+        pixel_valid: jnp.ndarray,
+        text_emb: jnp.ndarray,
+        text_valid: jnp.ndarray,
+        targets,  # HOITargets with M == num_queries // 2 slots
+        rng: jnp.ndarray,
+        n_obj_texts: Optional[int] = None,
+        deterministic: bool = True,
+        box_noise_scale: float = 0.4,
+        label_noise_scale: float = 0.2,
+        training: bool = True,
+    ):
+        """R-Tagger forward: GT (sub, obj) pairs become noised DAB queries —
+        the noised boxes are the 4-d anchors and the query content is the
+        label text embedding + projected box embedding. Outputs are
+        slot-aligned with `targets` (no Hungarian matching downstream)."""
+        from rlipv2_tpu.models.tagger import prepare_tagger_queries
+
+        c = self.cfg
+        n_obj = c.max_obj_texts if n_obj_texts is None else n_obj_texts
+
+        enc = self._encode(pixels, pixel_valid, text_emb, text_valid, deterministic)
+        label_embeds = enc["text_resized_last"][:, :n_obj]  # (B, T_obj, C)
+
+        sub_ref, obj_ref, sub_lq, obj_lq, slot_valid = prepare_tagger_queries(
+            label_embeds,
+            targets,
+            rng,
+            box_noise_scale,
+            label_noise_scale,
+            training=training,
+        )
+        from rlipv2_tpu.ops.positional import inverse_sigmoid
+
+        sub_bq = self.coord_proj(inverse_sigmoid(sub_ref).astype(self.compute_dtype))
+        obj_bq = self.coord_proj(inverse_sigmoid(obj_ref).astype(self.compute_dtype))
+        tgt = jnp.concatenate(
+            [sub_lq.astype(self.compute_dtype) + sub_bq,
+             obj_lq.astype(self.compute_dtype) + obj_bq],
+            axis=1,
+        )
+        out = self._decode_and_classify(
+            enc,
+            tgt,
+            sub_ref.astype(self.compute_dtype),
+            obj_ref.astype(self.compute_dtype),
+            n_obj,
+            deterministic,
+        )
+        out["tagger_slot_valid"] = slot_valid
+        return out
+
+    def _decode_and_classify(
+        self, enc, tgt, sub_ref, obj_ref, n_obj, deterministic=True
+    ):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        np_ = sub_ref.shape[1]
+        B = tgt.shape[0]
+        img_memory = enc["img_memory"]
+        spatial_shapes = enc["spatial_shapes"]
+        valid_ratios = enc["valid_ratios"]
+        mask_flat = enc["mask_flat"]
+        text_dec = enc["text_dec"]
 
         ho = self.ho_decoder(
             tgt,
