@@ -1,0 +1,92 @@
+"""Tagger inference tool: candidates -> VG-format pseudo relations."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlipv2_tpu.engine.loops import CachedTextEncoder
+from rlipv2_tpu.models.parseda import RLIPParSeDA
+from rlipv2_tpu.structures import HOITargets
+from rlipv2_tpu.tools.generate_relations import generate_pseudo_annotations
+from test_parseda_forward import tiny_config
+
+
+class FakeTaggerDataset:
+    object_names = ["person", "horse", "dog", "tree"]
+
+    def __init__(self, n=2):
+        rng = np.random.RandomState(0)
+        self.items = []
+        for i in range(n):
+            img = rng.randn(64, 64, 3).astype(np.float32)
+            boxes = rng.uniform(0.3, 0.6, (3, 4)).astype(np.float32)
+            labels = np.array([0, 1, 3])
+            cands = [
+                ([(0, 1), (0, 2)], ["rides", "stands near"]),
+                ([(1, 2)], ["next to"]),
+            ]
+            self.items.append(
+                (img, {"boxes": boxes, "labels": labels,
+                       "relation_candidates": cands, "image_id": 100 + i})
+            )
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_generate_pseudo_annotations():
+    cfg = dataclasses.replace(tiny_config(), subject_class=True)
+    model = RLIPParSeDA(cfg)
+    ds = FakeTaggerDataset()
+    M = cfg.num_queries // 2
+    B = 1
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    tgt = HOITargets(
+        obj_labels=jnp.zeros((B, M), jnp.int32),
+        sub_labels=jnp.zeros((B, M), jnp.int32),
+        verb_labels=jnp.zeros((B, M, cfg.max_verb_texts)),
+        sub_boxes=jnp.full((B, M, 4), 0.5),
+        obj_boxes=jnp.full((B, M, 4), 0.5),
+        valid=jnp.ones((B, M), bool),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, 64, 64, 3)),
+        jnp.ones((B, 64, 64), bool),
+        jnp.zeros((B, T, cfg.text_encoder.hidden_size)),
+        jnp.ones((B, T), bool),
+        tgt,
+        jax.random.PRNGKey(1),
+        cfg.max_obj_texts,
+        method=RLIPParSeDA.forward_tagger,
+    )
+
+    rng = np.random.RandomState(1)
+    enc = CachedTextEncoder(
+        lambda texts: rng.randn(len(texts), cfg.text_encoder.hidden_size).astype(
+            np.float32
+        )
+    )
+    annos = generate_pseudo_annotations(
+        model, params, ds, enc, cfg, relation_threshold=0.0, dataset_name="coco2017"
+    )
+    assert len(annos) == 2
+    a = annos[0]
+    assert a["dataset"] == "coco2017"
+    assert len(a["objects"]) == 3
+    assert a["objects"][1]["names"] == "horse"
+    # threshold 0 keeps everything: 2 pairs x 2 rels + 1 pair x 1 rel = 5
+    assert len(a["relationships"]) == 5
+    assert all("confidence" in r for r in a["relationships"])
+    assert all(0 <= r["confidence"] <= 1 for r in a["relationships"])
+
+    # high threshold filters
+    annos2 = generate_pseudo_annotations(
+        model, params, ds, enc, cfg, relation_threshold=1.1, max_images=1
+    )
+    assert len(annos2[0]["relationships"]) == 0
