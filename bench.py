@@ -21,9 +21,9 @@ import numpy as np
 PYTORCH_A100_ANCHOR_IMGS_PER_SEC = 12.0
 
 # eval-time resolution: reference val transform resizes shorter side to 800,
-# max 1333 (reference: datasets/hico.py:497-500). We bench the 512x640
-# bucket (the 800x1216 bucket is a planned compile-memory fix).
-BATCH, H, W = 8, 512, 640
+# max 1333 (reference: datasets/hico.py:497-500); (832, 1344) is the padded
+# eval bucket (data/collate.py).
+BATCH, H, W = 8, 832, 1344
 
 
 def main():
@@ -81,10 +81,10 @@ def main():
         float(out)  # full sync
         return time.perf_counter() - t0
 
-    run(2)  # warm
-    t_small = min(run(2) for _ in range(3))
-    t_big = min(run(12) for _ in range(3))
-    dt = (t_big - t_small) / 10.0
+    run(1)  # warm
+    t_small = min(run(1) for _ in range(2))
+    t_big = min(run(6) for _ in range(2))
+    dt = (t_big - t_small) / 5.0
 
     imgs_per_sec = BATCH / dt
     print(
