@@ -90,35 +90,43 @@ class DeformableDecoderLayer(nn.Module):
 
 
 class DABHOIDecoder(nn.Module):
-    """DAB decoder shared by the ho path (parse=True) and verb path
-    (parse=False). Anchors are (cx, cy, w, h) in [0, 1]."""
+    """Deformable ParSe decoder shared by the ho path (parse=True) and verb
+    path (parse=False), in DAB mode (use_dab=True: 4-d anchors + anchor
+    sine query pos) or plain-deformable mode (use_dab=False: 2-d reference
+    points + learned query pos, the non-DAB `TransformerDecoderHOI`,
+    reference models/deformable_transformer.py:390-483)."""
 
     cfg: TransformerConfig
     parse: bool = True
     do_self_attn: bool = True
     refine_boxes: bool = True  # with_box_refine
+    use_dab: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
         tgt: jnp.ndarray,  # (B, nq, C); verb mode: (B, n_pairs, C)
-        sub_ref: jnp.ndarray,  # (B, n_pairs, 4) sigmoided anchors
-        obj_ref: jnp.ndarray,  # (B, n_pairs, 4)
+        sub_ref: jnp.ndarray,  # (B, n_pairs, 4) anchors or (B, n_pairs, 2)
+        obj_ref: jnp.ndarray,
         src: jnp.ndarray,  # (B, S, C)
         spatial_shapes: Sequence[tuple[int, int]],
         valid_ratios: jnp.ndarray,  # (B, L, 2)
         src_valid_mask=None,
         deterministic: bool = True,
+        query_pos_in: jnp.ndarray | None = None,  # non-DAB learned pos
     ):
         c = self.cfg
         n_pairs = sub_ref.shape[1]
+        ref_dim = sub_ref.shape[-1]
         vr4 = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)  # (B, L, 4)
+        vr = vr4 if ref_dim == 4 else valid_ratios
 
-        # shared across layers (reference: one ref_point_head / query_scale
-        # per decoder, dab_deformable/deformable_transformer.py:1419-1424)
-        ref_point_head = MLP(c.hidden_dim, c.hidden_dim, 2, dtype=self.dtype, name="ref_point_head")
-        query_scale = MLP(c.hidden_dim, c.hidden_dim, 2, dtype=self.dtype, name="query_scale")
+        if self.use_dab:
+            # shared across layers (reference: one ref_point_head /
+            # query_scale per decoder, dab_deformable/…:1419-1424)
+            ref_point_head = MLP(c.hidden_dim, c.hidden_dim, 2, dtype=self.dtype, name="ref_point_head")
+            query_scale = MLP(c.hidden_dim, c.hidden_dim, 2, dtype=self.dtype, name="query_scale")
 
         hs = []
         sub_refs_out = []
@@ -128,16 +136,19 @@ class DABHOIDecoder(nn.Module):
         output = tgt
         for lid in range(c.dec_layers):
             if self.parse:
-                ref_sub_in = sub_ref[:, :, None] * vr4[:, None]  # (B, np, L, 4)
-                ref_obj_in = obj_ref[:, :, None] * vr4[:, None]
+                ref_sub_in = sub_ref[:, :, None] * vr[:, None]  # (B, np, L, d)
+                ref_obj_in = obj_ref[:, :, None] * vr[:, None]
                 ref_input = jnp.concatenate([ref_sub_in, ref_obj_in], axis=1)
             else:
-                ref_input = (0.5 * (sub_ref + obj_ref))[:, :, None] * vr4[:, None]
+                ref_input = (0.5 * (sub_ref + obj_ref))[:, :, None] * vr[:, None]
 
-            sine = gen_sineembed_for_position(ref_input[:, :, 0, :])  # (B, nq, 512)
-            raw_query_pos = ref_point_head(sine)
-            pos_scale = query_scale(output) if lid != 0 else 1.0
-            query_pos = pos_scale * raw_query_pos
+            if self.use_dab:
+                sine = gen_sineembed_for_position(ref_input[:, :, 0, :])
+                raw_query_pos = ref_point_head(sine)
+                pos_scale = query_scale(output) if lid != 0 else 1.0
+                query_pos = pos_scale * raw_query_pos
+            else:
+                query_pos = query_pos_in
 
             output = DeformableDecoderLayer(
                 c, do_self_attn=self.do_self_attn, dtype=self.dtype, name=f"layer_{lid}"
@@ -152,6 +163,7 @@ class DABHOIDecoder(nn.Module):
             )
 
             if self.refine_boxes:
+                assert ref_dim == 4, "in-decoder refinement needs 4-d anchors"
                 sub_in = output[:, :n_pairs] if self.parse else output
                 obj_in = output[:, n_pairs:] if self.parse else output
                 sub_delta = MLP(

@@ -1,0 +1,38 @@
+"""Model factory: config variant -> model class (replaces the reference's
+boolean-selector build in models/detr.py:320-701).
+
+Variant map (BASELINE.json configs):
+  parse            — closed-vocab ParSe = RLIPParSe with fixed label texts
+  rlip_parse       — vanilla-DETR open-vocab (RLIPParSe)
+  rlip_parsed      — deformable non-DAB, no ALIF (fusion_type=no_fusion)
+  rlip_parsed_v2   — deformable non-DAB + ALIF (RLIPParSeD)
+  rlip_parseda_v2  — DAB-deformable + ALIF (RLIPParSeDA, flagship)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from rlipv2_tpu.config import FusionConfig, ModelConfig
+
+
+def build_model(cfg: ModelConfig):
+    from rlipv2_tpu.models.parse import RLIPParSe
+    from rlipv2_tpu.models.parsed import RLIPParSeD
+    from rlipv2_tpu.models.parseda import RLIPParSeDA
+
+    v = cfg.variant
+    if v in ("rlip_parseda_v2",):
+        return RLIPParSeDA(cfg)
+    if v in ("rlip_parsed_v2",):
+        return RLIPParSeD(cfg)
+    if v in ("rlip_parsed",):
+        # v1: same architecture without ALIF fusion
+        fusion = dataclasses.replace(cfg.transformer.fusion, fusion_type="no_fusion")
+        cfg = dataclasses.replace(
+            cfg, transformer=dataclasses.replace(cfg.transformer, fusion=fusion)
+        )
+        return RLIPParSeD(cfg)
+    if v in ("parse", "rlip_parse"):
+        return RLIPParSe(cfg)
+    raise ValueError(f"unknown variant: {v}")

@@ -1,0 +1,98 @@
+"""Model-variant forwards: RLIP-ParSeD (non-DAB), RLIP-ParSe (vanilla),
+factory dispatch."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlipv2_tpu.models.factory import build_model
+from test_parseda_forward import tiny_config
+
+
+def run_forward(model, cfg, B=1, H=64, W=64):
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    valid = jnp.ones((B, H, W), bool)
+    te = jnp.asarray(rng.randn(B, T, cfg.text_encoder.hidden_size).astype(np.float32))
+    tv = jnp.ones((B, T), bool)
+    params = model.init(
+        jax.random.PRNGKey(0), pixels, valid, te, tv, cfg.max_obj_texts
+    )
+    return model.apply(params, pixels, valid, te, tv, cfg.max_obj_texts)
+
+
+def check(out, cfg):
+    nq2 = cfg.num_queries // 2
+    assert out["pred_obj_logits"].shape == (1, nq2, cfg.max_obj_texts)
+    assert out["pred_verb_logits"].shape == (1, nq2, cfg.max_verb_texts)
+    assert out["pred_sub_boxes"].shape == (1, nq2, 4)
+    for v in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+    b = np.asarray(out["pred_sub_boxes"])
+    assert (b >= 0).all() and (b <= 1).all()
+    assert len(out["aux_outputs"]) == cfg.transformer.dec_layers - 1
+
+
+def test_rlip_parsed_v2():
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parsed_v2")
+    out = run_forward(build_model(cfg), cfg)
+    check(out, cfg)
+
+
+def test_rlip_parsed_v1_no_fusion():
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parsed")
+    out = run_forward(build_model(cfg), cfg)
+    check(out, cfg)
+
+
+def test_rlip_parse_vanilla():
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parse")
+    out = run_forward(build_model(cfg), cfg)
+    check(out, cfg)
+
+
+def test_factory_flagship():
+    from rlipv2_tpu.models.parseda import RLIPParSeDA
+
+    cfg = tiny_config()
+    assert isinstance(build_model(cfg), RLIPParSeDA)
+
+
+def test_variants_trainable():
+    """Gradients flow for the non-DAB variant through the full loss."""
+    from rlipv2_tpu.config import LossConfig
+    from rlipv2_tpu.losses import SetCriterionHOI
+    from rlipv2_tpu.structures import HOITargets
+
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parsed_v2")
+    model = build_model(cfg)
+    B, H, W, M = 1, 64, 64, 4
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    rng = np.random.RandomState(1)
+    pixels = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    valid = jnp.ones((B, H, W), bool)
+    te = jnp.asarray(rng.randn(B, T, cfg.text_encoder.hidden_size).astype(np.float32))
+    tv = jnp.ones((B, T), bool)
+    params = model.init(jax.random.PRNGKey(0), pixels, valid, te, tv, cfg.max_obj_texts)
+
+    targets = HOITargets(
+        obj_labels=jnp.asarray(rng.randint(0, 3, (B, M))),
+        sub_labels=jnp.zeros((B, M), jnp.int32),
+        verb_labels=jnp.asarray((rng.rand(B, M, cfg.max_verb_texts) > 0.5).astype(np.float32)),
+        sub_boxes=jnp.asarray(rng.uniform(0.3, 0.7, (B, M, 4)).astype(np.float32)),
+        obj_boxes=jnp.asarray(rng.uniform(0.3, 0.7, (B, M, 4)).astype(np.float32)),
+        valid=jnp.ones((B, M), bool),
+    )
+    crit = SetCriterionHOI(LossConfig())
+
+    def loss_fn(p):
+        out = model.apply(p, pixels, valid, te, tv, cfg.max_obj_texts)
+        losses = crit(out, targets, tv[:, : cfg.max_obj_texts], tv[:, cfg.max_obj_texts :])
+        return crit.weighted_total(losses)
+
+    g = jax.grad(loss_fn)(params)
+    gn = sum(float((np.asarray(x) ** 2).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
