@@ -98,6 +98,43 @@ def sample_negative_texts(
     return merged
 
 
+def sample_negative_texts_hard(
+    merged: list,
+    target_count: int,
+    full_texts: Sequence[str],
+    text_features: np.ndarray,  # (N, D) label embeddings (SimCSE-style)
+    query_texts: Optional[Sequence[str]] = None,
+):
+    """Hard-negative mining (reference sample_text 'hard_mining',
+    engine.py:869-928): rank the full vocabulary by summed cosine
+    similarity to the batch's positive label texts and append the most
+    similar absent texts until target_count."""
+    merged = list(merged)
+    if len(merged) >= target_count:
+        return merged
+    queries = [t for t in (query_texts or merged) if t in full_texts]
+    if not queries:  # degrade to freq/random handled by caller
+        return merged
+    text_index = {t: i for i, t in enumerate(full_texts)}
+    f = np.asarray(text_features, np.float32)
+    f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+    q = f[[text_index[t] for t in queries]]
+    sim = q @ f.T  # (nq, N)
+    sim = sim / np.maximum(sim.max(-1, keepdims=True), 1e-12)
+    ranked = np.argsort(-sim.sum(0))
+    for idx in ranked:
+        if len(merged) >= target_count:
+            break
+        t = full_texts[int(idx)]
+        if t not in merged:
+            merged.append(t)
+    i = 0
+    while len(merged) < target_count:
+        merged.append(f"<pad text {i}>")
+        i += 1
+    return merged
+
+
 def pack_text_slots(
     merged_obj: list,
     merged_verb: list,

@@ -88,7 +88,22 @@ def make_train_step(
         )
         obj_valid = batch.text_valid[:, : mcfg.max_obj_texts]
         verb_valid = batch.text_valid[:, mcfg.max_obj_texts :]
-        losses = criterion(out, batch.targets, obj_valid, verb_valid)
+        target_verb_sim = None
+        if mcfg.pseudo_verb:
+            # offline-mode pseudo-verb soft labels from the pooled text
+            # features (reference's "offline" branch, models/hoi.py:2209-2216;
+            # the online variant uses post-ALIF language states)
+            from rlipv2_tpu.losses.pseudo_verb import pseudo_verb_similarity
+
+            target_verb_sim = pseudo_verb_similarity(
+                batch.text_emb[0, mcfg.max_obj_texts :],
+                batch.targets.verb_labels,
+                verb_valid,
+            )
+        losses = criterion(
+            out, batch.targets, obj_valid, verb_valid,
+            target_verb_sim=target_verb_sim,
+        )
         total = criterion.weighted_total(losses)
         return total, losses
 
