@@ -72,8 +72,16 @@ def make_train_step(
     mcfg: ModelConfig,
     tcfg: TrainConfig,
     mesh: Optional[Mesh] = None,
+    accumulation_steps: int = 1,
+    deterministic: bool = False,
 ):
-    """Returns a jitted train_step(state, batch) -> (state, metrics)."""
+    """Returns a jitted train_step(state, batch) -> (state, metrics).
+
+    accumulation_steps > 1 reproduces the reference's multi-dataset
+    gradient accumulation (reference: engine.py:138-165 with
+    BatchIterativeDistributedSampler — one dataset per micro-batch): the
+    batch arrays carry a leading (K, ...) micro-batch axis and a lax.scan
+    averages the K gradients before one optimizer update."""
 
     def loss_fn(params, batch: TrainBatch, rng):
         out = model.apply(
@@ -83,7 +91,7 @@ def make_train_step(
             batch.text_emb,
             batch.text_valid,
             mcfg.max_obj_texts,
-            deterministic=False,
+            deterministic=deterministic,
             rngs={"dropout": rng},
         )
         obj_valid = batch.text_valid[:, : mcfg.max_obj_texts]
@@ -107,11 +115,43 @@ def make_train_step(
         total = criterion.weighted_total(losses)
         return total, losses
 
+    def grads_single(params, batch, rng):
+        return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+
+    def grads_accumulated(params, batch, rng):
+        """batch leaves have a leading (K, ...) micro-batch axis."""
+        rngs = jax.random.split(rng, accumulation_steps)
+
+        def body(carry, xs):
+            total_acc, losses_acc, grads_acc = carry
+            micro, r = xs
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, micro, r
+            )
+            return (
+                total_acc + total,
+                jax.tree_util.tree_map(jnp.add, losses_acc, losses),
+                jax.tree_util.tree_map(jnp.add, grads_acc, grads),
+            ), None
+
+        micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+        (t0, l0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, micro0, rngs[0]
+        )
+        rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+        (total, losses, grads), _ = jax.lax.scan(
+            body, (t0, l0, g0), (rest, rngs[1:])
+        )
+        k = float(accumulation_steps)
+        return (
+            (total / k, jax.tree_util.tree_map(lambda x: x / k, losses)),
+            jax.tree_util.tree_map(lambda x: x / k, grads),
+        )
+
     def train_step(state: TrainState, batch: TrainBatch):
         rng, step_rng = jax.random.split(state.rng)
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params["params"], batch, step_rng
-        )
+        grad_fn = grads_single if accumulation_steps == 1 else grads_accumulated
+        (total, losses), grads = grad_fn(state.params["params"], batch, step_rng)
         finite = jnp.isfinite(total)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
@@ -142,7 +182,11 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    # with accumulation the leading axis is the micro-batch scan axis;
+    # the data-parallel shard axis is the one after it
+    data = NamedSharding(
+        mesh, P("data") if accumulation_steps == 1 else P(None, "data")
+    )
     batch_sh = TrainBatch(
         pixels=data,
         pixel_valid=data,

@@ -109,3 +109,47 @@ def test_train_step_single_device():
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert state.ema_params is not None
+
+
+def test_gradient_accumulation_matches_mean():
+    """K-microbatch accumulation == averaged grads of single steps (same
+    params, deterministic loss)."""
+    import jax.tree_util as jtu
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(lr=1e-4, ema=False)
+    model = RLIPParSeDA(cfg)
+    rng = np.random.RandomState(3)
+    b1 = make_batch(rng, cfg, B=2)
+    b2 = make_batch(rng, cfg, B=2)
+    params = init_model_params(
+        model,
+        jax.random.PRNGKey(0),
+        b1.pixels[:1], b1.pixel_valid[:1], b1.text_emb[:1], b1.text_valid[:1],
+        cfg.max_obj_texts,
+        jnp.ones((2, 6), jnp.int32), jnp.ones((2, 6), jnp.int32),
+    )
+    criterion = SetCriterionHOI(LossConfig())
+
+    def fresh_state():
+        # donation invalidates buffers; each state needs its own copies
+        p = jtu.tree_map(jnp.copy, params)
+        return create_train_state(p, tcfg, steps_per_epoch=10)
+
+    state, tx = fresh_state()
+    step1 = make_train_step(
+        model, criterion, tx, cfg, tcfg, mesh=None, deterministic=True
+    )
+    stacked = jtu.tree_map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    stepk = make_train_step(
+        model, criterion, tx, cfg, tcfg, mesh=None, accumulation_steps=2,
+        deterministic=True,
+    )
+
+    _, m1 = step1(state, b1)
+    state2, _ = fresh_state()
+    _, m2 = step1(state2, b2)
+    state3, _ = fresh_state()
+    _, mk = stepk(state3, stacked)
+    expect = (float(m1["loss"]) + float(m2["loss"])) / 2
+    assert abs(float(mk["loss"]) - expect) < 2e-3 * max(1.0, abs(expect))
