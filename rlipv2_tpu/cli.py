@@ -26,8 +26,17 @@ def get_parser():
     p = argparse.ArgumentParser("rlipv2_tpu", description=__doc__)
     p.add_argument("--preset", default="rlip_parseda_v2_r50",
                    help="model preset (see rlipv2_tpu.config.PRESETS)")
-    p.add_argument("--dataset_file", default="hico", choices=["hico", "vcoco", "oi_sgg", "vg"])
+    p.add_argument("--dataset_file", default="hico", choices=["hico", "vcoco", "oi_sgg", "vg", "pretrain"])
     p.add_argument("--hoi_path", type=str, help="dataset root")
+    # relational pretraining (reference: train_RLIP_ParSeDA_v2_mixed_* scripts)
+    p.add_argument("--pretrain_anno", type=str, help="VG-format merged annotation JSON")
+    p.add_argument("--vg_folder", type=str)
+    p.add_argument("--coco2017_folder", type=str)
+    p.add_argument("--o365_folder", type=str)
+    p.add_argument("--iterative_paradigm", default="0",
+                   help="comma list of dataset indices per micro-batch, e.g. 0,1,2")
+    p.add_argument("--relation_threshold", type=float, default=0.0)
+    p.add_argument("--pair_overlap", action="store_true")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=8)
@@ -161,6 +170,8 @@ def main(argv=None):
             state = restored
             print(f"resumed from {args.resume} @ step {int(state.step)}")
 
+    if args.dataset_file == "pretrain":
+        return run_pretrain(args, ctx)
     if args.dataset_file != "hico":
         raise NotImplementedError(
             f"dataset {args.dataset_file} CLI wiring lands with its evaluator"
@@ -220,6 +231,56 @@ def main(argv=None):
             },
         )
         print(f"epoch {epoch}: mAP {stats['mAP']:.4f}")
+    return state
+
+
+def run_pretrain(args, ctx):
+    """Relational pre-training epochs over the merged VG-format dataset
+    (reference: scripts/RLIP_ParSeDA/train_RLIP_ParSeDA_v2_mixed_*.sh +
+    engine.py:45-201 with BatchIterativeDistributedSampler)."""
+    import time as _time
+
+    from rlipv2_tpu.data.vg import VGRelDataset, batch_iterative_indices
+    from rlipv2_tpu.engine.checkpoint import CheckpointManager
+    from rlipv2_tpu.engine.loops import train_one_epoch
+    from rlipv2_tpu.utils.logging import append_log_line
+
+    ds = VGRelDataset(
+        args.pretrain_anno,
+        {
+            "vg": args.vg_folder,
+            "coco2017": args.coco2017_folder,
+            "o365": args.o365_folder,
+        },
+        num_queries=ctx["cfg"].num_queries,
+        relation_threshold=args.relation_threshold,
+        pair_overlap=args.pair_overlap,
+    )
+    paradigm = [int(d) for d in args.iterative_paradigm.split(",")]
+    mgr = CheckpointManager(Path(args.output_dir) / "ckpt")
+    state = ctx["state"]
+    for epoch in range(args.epochs):
+        batches = batch_iterative_indices(
+            [len(ds)], args.batch_size, paradigm, shuffle=True,
+            seed=args.seed, epoch=epoch,
+        )
+        t0 = _time.time()
+        state, stats = train_one_epoch(
+            ctx["step"], state, ds, indices=[], batch_size=args.batch_size,
+            cfg=ctx["cfg"], text_encoder=ctx["text_encoder"], epoch=epoch,
+            negative_text_sampling=args.negative_text_sampling,
+            obj_vocab=ds.object_names, verb_vocab=ds.relationship_names,
+            obj_freqs=list(ds.object_freq.values()),
+            verb_freqs=list(ds.relationship_freq.values()),
+            sampling_strategy=args.sampling_strategy,
+            print_freq=args.print_freq, max_steps=args.max_steps,
+            batch_lists=batches,
+        )
+        mgr.save(epoch, state, config=ctx["tcfg"])
+        append_log_line(
+            Path(args.output_dir),
+            {"epoch": epoch, "train": stats, "epoch_time": _time.time() - t0},
+        )
     return state
 
 

@@ -84,12 +84,17 @@ def train_one_epoch(
     verb_vocab=None,
     obj_freqs=None,
     verb_freqs=None,
+    sampling_strategy: str = "freq",
     print_freq: int = 50,
     logger: Optional[MetricLogger] = None,
     rng=None,
     max_steps: Optional[int] = None,
     max_triplets: Optional[int] = None,
+    batch_lists: Optional[Sequence[Sequence[int]]] = None,
 ):
+    """indices + batch_size give a plain epoch; batch_lists (e.g. from
+    data/vg.batch_iterative_indices) gives pre-built whole batches for
+    multi-dataset interleaving."""
     import random as _random
 
     rng = rng or _random.Random(epoch)
@@ -97,13 +102,19 @@ def train_one_epoch(
         # the matcher needs M <= n_pairs (= num_queries // 2)
         max_triplets = min(64, cfg.num_queries // 2)
     logger = logger or MetricLogger()
-    n_batches = len(indices) // batch_size
+    if batch_lists is not None:
+        n_batches = len(batch_lists)
+    else:
+        n_batches = len(indices) // batch_size
     if max_steps is not None:
         n_batches = min(n_batches, max_steps)
 
     def batches():
         for i in range(n_batches):
-            yield indices[i * batch_size : (i + 1) * batch_size]
+            if batch_lists is not None:
+                yield list(batch_lists[i])
+            else:
+                yield indices[i * batch_size : (i + 1) * batch_size]
 
     for batch_ids in logger.log_every(
         _SizedIter(batches(), n_batches), print_freq, f"Epoch [{epoch}]"
@@ -119,6 +130,7 @@ def train_one_epoch(
             verb_vocab=verb_vocab,
             obj_freqs=obj_freqs,
             verb_freqs=verb_freqs,
+            sampling_strategy=sampling_strategy,
             rng=rng,
         )
         slot_texts = list(obj_slots) + list(verb_slots)

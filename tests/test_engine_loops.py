@@ -91,7 +91,9 @@ def test_train_then_eval(tiny_setup, synth_hico):  # noqa: F811
     remap_small(train_ds)
     tcfg = TrainConfig(lr=1e-4, ema=False, batch_size=2)
     criterion = SetCriterionHOI(LossConfig())
-    state, tx = create_train_state(params, tcfg, steps_per_epoch=2)
+    state, tx = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, params), tcfg, steps_per_epoch=2
+    )
     step = make_train_step(model, criterion, tx, cfg, tcfg, mesh=None)
 
     state, metrics = train_one_epoch(
@@ -128,3 +130,64 @@ def test_train_then_eval(tiny_setup, synth_hico):  # noqa: F811
     )
     assert set(results) == {"mAP", "mAP rare", "mAP non-rare", "mean max recall"}
     assert 0.0 <= results["mAP"] <= 1.0
+
+
+def test_pretrain_cli_loop(tiny_setup, tmp_path):
+    """Pretraining path: VG dataset + batch-iterative batches through
+    train_one_epoch."""
+    import json as _json
+
+    from PIL import Image
+    from rlipv2_tpu.data.transforms import HOITransform
+    from rlipv2_tpu.data.vg import VGRelDataset, batch_iterative_indices
+    from rlipv2_tpu.engine import create_train_state, make_train_step
+
+    cfg, model, params, text_encoder = tiny_setup
+    # tiny VG dataset
+    img_dir = tmp_path / "vg"
+    img_dir.mkdir()
+    rng = np.random.RandomState(5)
+    annos = []
+    for i in range(4):
+        iid = 500 + i
+        Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"{iid}.jpg"
+        )
+        annos.append(
+            {
+                "image_id": iid,
+                "objects": [
+                    {"object_id": 1, "x": 5, "y": 5, "w": 40, "h": 40, "names": "man"},
+                    {"object_id": 2, "x": 20, "y": 20, "w": 40, "h": 40, "names": "dog"},
+                ],
+                "relationships": [
+                    {"subject_id": 1, "object_id": 2, "predicate": "pets"}
+                ],
+            }
+        )
+    af = tmp_path / "vg.json"
+    af.write_text(_json.dumps(annos))
+    ds = VGRelDataset(
+        af, {"vg": img_dir}, num_queries=cfg.num_queries,
+        transforms=HOITransform(train=False, val_size=64, max_size=96),
+    )
+
+    from rlipv2_tpu.config import LossConfig, TrainConfig
+    from rlipv2_tpu.losses import SetCriterionHOI
+
+    tcfg = TrainConfig(ema=False)
+    crit = SetCriterionHOI(LossConfig())
+    state, tx = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, params), tcfg, steps_per_epoch=2
+    )
+    step = make_train_step(model, crit, tx, cfg, tcfg, mesh=None)
+    batches = batch_iterative_indices([len(ds)], 2, [0], shuffle=False)
+    state, stats = train_one_epoch(
+        step, state, ds, indices=[], batch_size=2, cfg=cfg,
+        text_encoder=text_encoder, epoch=0, print_freq=1,
+        negative_text_sampling=6,
+        obj_vocab=["man", "dog", "cat", "horse"],
+        verb_vocab=["pets", "rides", "holds", "feeds", "walks", "near"],
+        batch_lists=batches,
+    )
+    assert np.isfinite(stats["loss"])
