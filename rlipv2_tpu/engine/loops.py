@@ -246,3 +246,104 @@ def evaluate_hoi(
         use_nms_filter=use_nms_filter,
     )
     return evaluator.evaluate()
+
+
+def _collect_predictions(
+    apply_fn, params, dataset, cfg, text_encoder, batch_size, bucket,
+    subject_category_id, max_images, sgg: bool = False,
+):
+    """Shared prediction collection for the V-COCO / OI-SGG eval loops."""
+    from rlipv2_tpu.eval.postprocess import postprocess_sgg
+
+    obj_texts = list(dataset.object_text) + ["no objects"]
+    verb_texts = list(dataset.verb_text)
+    n_obj = len(obj_texts)
+    feats = text_encoder(obj_texts + verb_texts)
+
+    n_images = len(dataset) if max_images is None else min(max_images, len(dataset))
+    preds, gts = [], []
+    for start in range(0, n_images, batch_size):
+        samples = [dataset[i] for i in range(start, min(start + batch_size, n_images))]
+        images = [s[0] for s in samples]
+        targets = [s[1] for s in samples]
+        B = len(images)
+        H, W = bucket
+        pixels = np.zeros((B, H, W, 3), np.float32)
+        valid = np.zeros((B, H, W), bool)
+        for b, im in enumerate(images):
+            h, w = im.shape[:2]
+            pixels[b, :h, :w] = im
+            valid[b, :h, :w] = True
+        text_emb = np.tile(feats[None], (B, 1, 1))
+        text_valid = np.ones((B, len(feats)), bool)
+        out = apply_fn(
+            params, jnp.asarray(pixels), jnp.asarray(valid),
+            jnp.asarray(text_emb), jnp.asarray(text_valid), n_obj,
+        )
+        orig = jnp.asarray(
+            np.stack([t["orig_size"] for t in targets]).astype(np.float32)
+        )
+        if sgg and "pred_sub_logits" in out:
+            post = postprocess_sgg(out, orig)
+        else:
+            post = postprocess_hoi(out, orig)
+        preds.extend(to_image_results(post, subject_category_id))
+        gts.extend(targets)
+    return preds, gts
+
+
+def evaluate_vcoco(
+    apply_fn, params, dataset, cfg, text_encoder,
+    batch_size: int = 8, bucket=(832, 1344), subject_category_id: int = 0,
+    max_images: Optional[int] = None,
+):
+    """V-COCO role-AP evaluation (reference: engine.py's vcoco branch +
+    datasets/vcoco_eval.py)."""
+    from rlipv2_tpu.eval.vcoco_eval import VCOCOEvaluator
+
+    preds, gts = _collect_predictions(
+        apply_fn, params, dataset, cfg, text_encoder, batch_size, bucket,
+        subject_category_id, max_images,
+    )
+    correct_mat = dataset.correct_mat
+    if correct_mat is None:
+        correct_mat = np.ones(
+            (len(dataset.verb_text), len(dataset.object_text)), np.float64
+        )
+    gt_dicts = [
+        {"boxes": np.asarray(t["boxes"]), "labels": np.asarray(t["labels"]),
+         "hois": np.asarray(t["hois"])}
+        for t in gts
+    ]
+    return VCOCOEvaluator(preds, gt_dicts, correct_mat).evaluate()
+
+
+def evaluate_sgg(
+    apply_fn, params, dataset, cfg, text_encoder,
+    batch_size: int = 8, bucket=(832, 1344),
+    use_nms_filter: bool = False, max_images: Optional[int] = None,
+):
+    """Open Images v6 SGG evaluation at top-50 AND top-100 with the
+    composite score (reference: engine.py:472-569 evaluate_sgg_with_text
+    runs the evaluator at both topK)."""
+    from rlipv2_tpu.eval.oi_sgg_eval import OISGGEvaluator, score_wtd
+
+    preds, gts = _collect_predictions(
+        apply_fn, params, dataset, cfg, text_encoder, batch_size, bucket,
+        subject_category_id=0, max_images=max_images, sgg=True,
+    )
+    gt_dicts = [
+        {"filename": t.get("filename", ""), "boxes": np.asarray(t["boxes"]),
+         "labels": np.asarray(t["labels"]), "rels": np.asarray(t["hois"])}
+        for t in gts
+    ]
+    r50 = OISGGEvaluator(
+        preds, gt_dicts, topk=50, use_nms_filter=use_nms_filter
+    ).evaluate()
+    r100 = OISGGEvaluator(
+        preds, gt_dicts, topk=100, use_nms_filter=use_nms_filter
+    ).evaluate()
+    out = dict(r50)
+    out.update(r100)
+    out.update(score_wtd(r50, r100))
+    return out

@@ -191,3 +191,29 @@ def test_pretrain_cli_loop(tiny_setup, tmp_path):
         batch_lists=batches,
     )
     assert np.isfinite(stats["loss"])
+
+
+def test_evaluate_vcoco_and_sgg_loops(tiny_setup, synth_hico):  # noqa: F811
+    """V-COCO and OI-SGG eval loops run end-to-end on synthetic data."""
+    from rlipv2_tpu.engine.loops import evaluate_sgg, evaluate_vcoco
+
+    cfg, model, params, text_encoder = tiny_setup
+    val_ds = small_vocab_dataset(synth_hico, train=False)
+    remap_small(val_ds)
+
+    apply_fn = jax.jit(
+        lambda p, px, v, te, tv, n: model.apply(p, px, v, te, tv, n),
+        static_argnums=(5,),
+    )
+    r = evaluate_vcoco(
+        apply_fn, params, val_ds, cfg, text_encoder,
+        batch_size=2, bucket=(512, 512), max_images=2,
+    )
+    assert "mAP_all" in r and np.isfinite(r["mAP_all"])
+
+    r2 = evaluate_sgg(
+        apply_fn, params, val_ds, cfg, text_encoder,
+        batch_size=2, bucket=(512, 512), max_images=2,
+    )
+    assert "score_wtd (wmAP)" in r2
+    assert "mAP@50 (RelD)" in r2 and "mAP@100 (PhrD)" in r2
