@@ -172,10 +172,35 @@ def main(argv=None):
 
     if args.dataset_file == "pretrain":
         return run_pretrain(args, ctx)
-    if args.dataset_file != "hico":
-        raise NotImplementedError(
-            f"dataset {args.dataset_file} CLI wiring lands with its evaluator"
+
+    import jax as _jax
+
+    if args.dataset_file in ("vcoco", "oi_sgg"):
+        from rlipv2_tpu.engine.loops import evaluate_sgg, evaluate_vcoco
+
+        apply_fn = _jax.jit(
+            lambda p, px, v, te, tv, n: ctx["model"].apply(p, px, v, te, tv, n),
+            static_argnums=(5,),
         )
+        if args.dataset_file == "vcoco":
+            from rlipv2_tpu.data.vcoco import build_vcoco
+
+            ds = build_vcoco("val", args.hoi_path, ctx["cfg"].num_queries)
+            stats = evaluate_vcoco(
+                apply_fn, state.params, ds, ctx["cfg"], ctx["text_encoder"],
+                batch_size=args.batch_size,
+            )
+        else:
+            from rlipv2_tpu.data.oi_sgg import build_oi_sgg
+
+            ds = build_oi_sgg("val", args.hoi_path, ctx["cfg"].num_queries)
+            stats = evaluate_sgg(
+                apply_fn, state.params, ds, ctx["cfg"], ctx["text_encoder"],
+                batch_size=args.batch_size, use_nms_filter=args.use_nms_filter,
+            )
+        print(stats)
+        return stats
+
     val_ds = build_hico(
         "val", args.hoi_path, cfg.num_queries,
         zero_shot_setting=args.zero_shot_setting,
