@@ -135,6 +135,191 @@ def convert_resnet(sd: Mapping[str, np.ndarray], blocks=(3, 4, 6, 3), prefix: st
     return params
 
 
+def _mha(sd, prefix, d_model, n_heads):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention
+    params (functionally verified to 1e-7)."""
+    hd = d_model // n_heads
+    W = sd[f"{prefix}.in_proj_weight"].astype(np.float32)
+    b = sd[f"{prefix}.in_proj_bias"].astype(np.float32)
+
+    def dg(Wp, bp):
+        return {"kernel": Wp.T.reshape(d_model, n_heads, hd),
+                "bias": bp.reshape(n_heads, hd)}
+
+    return {
+        "query": dg(W[:d_model], b[:d_model]),
+        "key": dg(W[d_model : 2 * d_model], b[d_model : 2 * d_model]),
+        "value": dg(W[2 * d_model :], b[2 * d_model :]),
+        "out": {
+            "kernel": sd[f"{prefix}.out_proj.weight"].T.reshape(n_heads, hd, d_model).astype(np.float32),
+            "bias": sd[f"{prefix}.out_proj.bias"].astype(np.float32),
+        },
+    }
+
+
+def _mlp(sd, prefix, n_layers):
+    return {
+        f"layers_{i}": _linear(sd, f"{prefix}.layers.{i}") for i in range(n_layers)
+    }
+
+
+def _mbf(sd, prefix, cardinality=16):
+    """MultiBranchFusion ModuleLists -> stacked einsum weights."""
+    def stack(name, transpose):
+        ws = [sd[f"{prefix}.{name}.{k}.weight"] for k in range(cardinality)]
+        bs = [sd[f"{prefix}.{name}.{k}.bias"] for k in range(cardinality)]
+        w = np.stack([w.T for w in ws]) if transpose else np.stack(ws)
+        return w.astype(np.float32), np.stack(bs).astype(np.float32)
+
+    w1, b1 = stack("fc_1", True)
+    w2, b2 = stack("fc_2", True)
+    w3, b3 = stack("fc_3", True)
+    return {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3}
+
+
+def _msda(sd, prefix):
+    return {
+        "sampling_offsets": _linear(sd, f"{prefix}.sampling_offsets"),
+        "attention_weights": _linear(sd, f"{prefix}.attention_weights"),
+        "value_proj": _linear(sd, f"{prefix}.value_proj"),
+        "output_proj": _linear(sd, f"{prefix}.output_proj"),
+    }
+
+
+def _groupnorm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+            "bias": sd[f"{prefix}.bias"].astype(np.float32)}
+
+
+def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Full reference RLIP_ParSeDA checkpoint (state_dict['model'], key
+    space documented in SURVEY.md §2.2/§2.4) -> our flax param tree.
+
+    Covers: ResNet backbone (BN folded), the ALIF encoder (deformable
+    layers + per-fusion RobertaLayer + VLFuse bi-attention with VXAc-family
+    gating), both DAB decoders incl. the per-layer box-head clones the
+    reference wires in from the top model (first num_pred -> ho decoder,
+    second -> verb decoder, reference models/hoi.py:1981-1994), queries,
+    input projections, text encoder, resizer, MBF and classification
+    params. Swin backbones: round-2."""
+    t = cfg.transformer
+    d = t.hidden_dim
+    n_fusion = t.enc_layers // t.fusion.fusion_interval
+    num_pred = t.dec_layers
+
+    params: dict = {}
+
+    # --- backbone (reference keys: backbone.0.body.*) ---
+    from rlipv2_tpu.models.resnet import STAGE_BLOCKS
+
+    params["backbone"] = convert_resnet(
+        sd, blocks=STAGE_BLOCKS[cfg.backbone.name], prefix="backbone.0.body.",
+    )
+
+    # --- input projections: input_proj.{i}.0 conv + .1 GroupNorm ---
+    for i in range(t.num_feature_levels):
+        params[f"input_proj_{i}"] = {
+            "kernel": sd[f"input_proj.{i}.0.weight"].transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": sd[f"input_proj.{i}.0.bias"].astype(np.float32),
+        }
+        params[f"input_norm_{i}"] = _groupnorm(sd, f"input_proj.{i}.1")
+
+    # --- queries / classification params ---
+    params["tgt_embed"] = sd["tgt_embed.weight"].astype(np.float32)
+    params["verb_tgt_embed"] = sd["verb_tgt_embed.weight"].astype(np.float32)
+    params["refpoint_embed"] = sd["refpoint_embed.weight"].astype(np.float32)
+    params["level_embed"] = sd["transformer.level_embed"].astype(np.float32)
+    params["projection_text"] = _linear(sd, "projection_text")
+    params["bias_obj_a"] = sd["bias_obj_a"].astype(np.float32)
+    params["bias_pred_a"] = sd["bias_pred_a"].astype(np.float32)
+
+    # --- ALIF encoder ---
+    enc: dict = {}
+    for i in range(t.enc_layers):
+        p = f"transformer.encoder.layers.{i}"
+        enc[f"layer_{i}"] = {
+            "self_attn": _msda(sd, f"{p}.self_attn"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+        }
+    for f in range(n_fusion):
+        enc[f"lang_layer_{f}"] = convert_roberta_layer(
+            {k.replace(f"transformer.encoder.roberta_layers.{f}", "encoder.layer.0"): v
+             for k, v in sd.items()
+             if k.startswith(f"transformer.encoder.roberta_layers.{f}.")},
+            "encoder.layer.0",
+        )
+        vp = f"transformer.encoder.VLFuse_layers.{f}.b_attn"
+        fuse = {
+            "layer_norm_v": _layernorm(sd, f"{vp}.layer_norm_v"),
+            "layer_norm_l": _layernorm(sd, f"{vp}.layer_norm_l"),
+            "gamma_v": sd[f"{vp}.gamma_v"].astype(np.float32),
+            "gamma_l": sd[f"{vp}.gamma_l"].astype(np.float32),
+            "attn": {
+                name: _linear(sd, f"{vp}.attn.{name}")
+                for name in ("v_proj", "l_proj", "values_v_proj",
+                             "values_l_proj", "out_v_proj", "out_l_proj")
+            },
+        }
+        # optional gating sub-layers (S*/LN modes)
+        for tname, ours in (("gamma_v_down", "gate_v_down"), ("gamma_v_up", "gate_v_up"),
+                            ("gamma_l_down", "gate_l_down"), ("gamma_l_up", "gate_l_up"),
+                            ("gamma_v_one", "gate_v_up"), ("gamma_l_one", "gate_l_up")):
+            if f"{vp}.{tname}.weight" in sd:
+                fuse[ours] = _linear(sd, f"{vp}.{tname}")
+        for tname, ours in (("layer_norm_gating_v", "gate_v_ln"),
+                            ("layer_norm_gating_l", "gate_l_ln")):
+            if f"{vp}.{tname}.weight" in sd:
+                fuse[ours] = _layernorm(sd, f"{vp}.{tname}")
+        enc[f"vl_fuse_{f}"] = fuse
+    params["encoder"] = enc
+
+    # --- decoders (box-head clones live in the decoders here) ---
+    def decoder(name, torch_name, head_offset):
+        dec: dict = {}
+        for i in range(t.dec_layers):
+            p = f"transformer.{torch_name}.layers.{i}"
+            dec[f"layer_{i}"] = {
+                "cross_attn": _msda(sd, f"{p}.cross_attn"),
+                "self_attn": _mha(sd, f"{p}.self_attn", d, t.nheads),
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "norm3": _layernorm(sd, f"{p}.norm3"),
+                "linear1": _linear(sd, f"{p}.linear1"),
+                "linear2": _linear(sd, f"{p}.linear2"),
+            }
+        dec["ref_point_head"] = _mlp(sd, f"transformer.{torch_name}.ref_point_head", 2)
+        dec["query_scale"] = _mlp(sd, f"transformer.{torch_name}.query_scale", 2)
+        for l in range(t.dec_layers):
+            dec[f"sub_bbox_embed_{l}"] = _mlp(
+                sd, f"sub_bbox_embed.{head_offset + l}", 3
+            )
+            dec[f"obj_bbox_embed_{l}"] = _mlp(
+                sd, f"obj_bbox_embed.{head_offset + l}", 3
+            )
+        return dec
+
+    params["ho_decoder"] = decoder("ho_decoder", "ho_decoder", 0)
+    params["verb_decoder"] = decoder("verb_decoder", "verb_decoder", num_pred)
+
+    # --- verb query generator (vanilla_MBF) ---
+    if any(k.startswith("transformer.verb_tgt_generator.fc_1.0.") for k in sd):
+        params["verb_tgt_generator"] = _mbf(sd, "transformer.verb_tgt_generator")
+
+    # --- text encoder + resizer ---
+    params["text_encoder"] = convert_roberta(
+        sd, num_layers=cfg.text_encoder.num_layers,
+        prefix="transformer.text_encoder.",
+    )
+    params["resizer"] = {
+        "fc": _linear(sd, "transformer.resizer.fc"),
+        "layer_norm": _layernorm(sd, "transformer.resizer.layer_norm"),
+    }
+    return params
+
+
 def filter_query_embeddings(
     tgt: np.ndarray, refpoint: np.ndarray, num_queries: int
 ) -> tuple[np.ndarray, np.ndarray]:

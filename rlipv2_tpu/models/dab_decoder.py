@@ -143,7 +143,7 @@ class DABHOIDecoder(nn.Module):
                 ref_input = (0.5 * (sub_ref + obj_ref))[:, :, None] * vr[:, None]
 
             if self.use_dab:
-                sine = gen_sineembed_for_position(ref_input[:, :, 0, :])
+                sine = gen_sineembed_for_position(ref_input[:, :, 0, :], dim=c.hidden_dim // 2)
                 raw_query_pos = ref_point_head(sine)
                 pos_scale = query_scale(output) if lid != 0 else 1.0
                 query_pos = pos_scale * raw_query_pos
