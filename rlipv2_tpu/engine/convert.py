@@ -320,6 +320,72 @@ def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def convert_swin(sd: Mapping[str, np.ndarray], spec, prefix: str = "") -> dict:
+    """torch Swin (reference models/swin/swin_transformer.py key space:
+    patch_embed / layers.{s}.blocks.{b} / layers.{s}.downsample /
+    norm{1,2,3}) -> our flax SwinTransformer params.
+
+    PatchMerging caveat: torch concatenates the 2x2 neighborhood as
+    [r0c0, r1c0, r0c1, r1c1] while our reshape yields
+    [r0c0, r0c1, r1c0, r1c1], so the reduction kernel's input blocks and
+    the pre-norm params are permuted (blocks 1 <-> 2)."""
+
+    def g(name):
+        return sd[prefix + name]
+
+    def lin(name):
+        return {"kernel": g(f"{name}.weight").T.astype(np.float32),
+                "bias": g(f"{name}.bias").astype(np.float32)}
+
+    def lnm(name):
+        return {"scale": g(f"{name}.weight").astype(np.float32),
+                "bias": g(f"{name}.bias").astype(np.float32)}
+
+    params: dict = {
+        "patch_embed": {
+            "kernel": g("patch_embed.proj.weight").transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": g("patch_embed.proj.bias").astype(np.float32),
+        },
+        "patch_norm": lnm("patch_embed.norm"),
+    }
+    perm4 = [0, 2, 1, 3]  # torch block order -> ours
+    for s, depth in enumerate(spec.depths):
+        dim = spec.embed_dim * (2**s)
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "norm1": lnm(f"{p}.norm1"),
+                "norm2": lnm(f"{p}.norm2"),
+                "attn": {
+                    "qkv": lin(f"{p}.attn.qkv"),
+                    "proj": lin(f"{p}.attn.proj"),
+                    "relative_position_bias_table": g(
+                        f"{p}.attn.relative_position_bias_table"
+                    ).astype(np.float32),
+                },
+                "mlp_fc1": lin(f"{p}.mlp.fc1"),
+                "mlp_fc2": lin(f"{p}.mlp.fc2"),
+            }
+        if s < len(spec.depths) - 1:
+            W = g(f"layers.{s}.downsample.reduction.weight").astype(np.float32)
+            # (2C_out, 4C_in): reorder the 4 input blocks then transpose
+            Wb = W.reshape(2 * dim, 4, dim)[:, perm4].reshape(2 * dim, 4 * dim)
+            nw = g(f"layers.{s}.downsample.norm.weight").astype(np.float32)
+            nb = g(f"layers.{s}.downsample.norm.bias").astype(np.float32)
+            params[f"merge{s}"] = {
+                "reduction": {"kernel": Wb.T},
+                "norm": {
+                    "scale": nw.reshape(4, dim)[perm4].reshape(-1),
+                    "bias": nb.reshape(4, dim)[perm4].reshape(-1),
+                },
+            }
+    # out norms: reference registers norm{idx} for out_indices (1, 2, 3)
+    for s in (1, 2, 3):
+        if prefix + f"norm{s}.weight" in sd:
+            params[f"out_norm{s}"] = lnm(f"norm{s}")
+    return params
+
+
 def filter_query_embeddings(
     tgt: np.ndarray, refpoint: np.ndarray, num_queries: int
 ) -> tuple[np.ndarray, np.ndarray]:
