@@ -179,9 +179,20 @@ def evaluate_hoi(
     zero_shot_subject_filter: bool = False,
     use_nms_filter: bool = False,
     max_images: Optional[int] = None,
+    rank: int = 0,
+    world: int = 1,
+    gather_fn=None,
+    max_gt_boxes: int = 128,
+    max_gt_hois: int = 128,
 ):
     """Full-vocabulary HICO-style evaluation. apply_fn(params, pixels,
-    valid, text_emb, text_valid, n_obj) -> output dict."""
+    valid, text_emb, text_valid, n_obj) -> output dict.
+
+    Multi-host: pass rank/world (and optionally gather_fn, default
+    multihost process_allgather). Each process evaluates a wrap-padded
+    strided shard of the dataset, fixed-shape prediction + GT arrays are
+    all-gathered, and duplicates are dropped by image index (reference:
+    engine.py:326-329, :439-453; util/misc.py:102-143)."""
     obj_texts = list(dataset.object_text) + ["no objects"]
     verb_texts = list(dataset.verb_text)
     n_obj = len(obj_texts)
@@ -189,6 +200,15 @@ def evaluate_hoi(
     feats = text_encoder(obj_texts + verb_texts)  # (n_obj+n_verb, D)
 
     n_images = len(dataset) if max_images is None else min(max_images, len(dataset))
+    if world > 1 or gather_fn is not None:
+        preds, gts = _collect_predictions_sharded(
+            apply_fn, params, dataset, feats, n_obj, n_images, batch_size,
+            bucket, subject_category_id, zero_shot_subject_filter,
+            rank, world, gather_fn, max_gt_boxes, max_gt_hois,
+        )
+        return _run_hico_evaluator(
+            dataset, preds, gts, n_obj, n_verb, use_nms_filter
+        )
     preds, gts = [], []
     for start in range(0, n_images, batch_size):
         ids = range(start, min(start + batch_size, n_images))
@@ -234,6 +254,10 @@ def evaluate_hoi(
             for t in targets
         )
 
+    return _run_hico_evaluator(dataset, preds, gts, n_obj, n_verb, use_nms_filter)
+
+
+def _run_hico_evaluator(dataset, preds, gts, n_obj, n_verb, use_nms_filter):
     correct_mat = dataset.correct_mat
     if correct_mat is None:
         correct_mat = np.ones((n_verb, n_obj - 1), np.float64)
@@ -246,6 +270,64 @@ def evaluate_hoi(
         use_nms_filter=use_nms_filter,
     )
     return evaluator.evaluate()
+
+
+def _collect_predictions_sharded(
+    apply_fn, params, dataset, feats, n_obj, n_images, batch_size,
+    bucket, subject_category_id, zero_shot_subject_filter,
+    rank, world, gather_fn, max_gt_boxes, max_gt_hois,
+):
+    """Strided-shard eval with fixed-shape all-gather + image-id dedupe.
+
+    Every rank runs ceil(n/world) images wrap-padded to a multiple of
+    batch_size (all shapes static), so `process_allgather` sees identical
+    shapes on every process; duplicates vanish in the dedupe."""
+    from rlipv2_tpu.parallel.dist_eval import (
+        DistEvalBuffer,
+        pad_gt_arrays,
+        shard_indices,
+        unpack_gt_arrays,
+    )
+
+    idx = shard_indices(n_images, rank, world)
+    pad = (-len(idx)) % batch_size
+    idx = idx + idx[:pad] if pad else idx
+
+    buf = DistEvalBuffer()
+    H, W = bucket
+    for start in range(0, len(idx), batch_size):
+        ids = idx[start : start + batch_size]
+        samples = [dataset[i] for i in ids]
+        images = [s[0] for s in samples]
+        targets = [s[1] for s in samples]
+        B = len(images)
+        pixels = np.zeros((B, H, W, 3), np.float32)
+        valid = np.zeros((B, H, W), bool)
+        for b, im in enumerate(images):
+            h, w = im.shape[:2]
+            pixels[b, :h, :w] = im
+            valid[b, :h, :w] = True
+        text_emb = np.tile(feats[None], (B, 1, 1))
+        text_valid = np.ones((B, len(feats)), bool)
+        out = apply_fn(
+            params, jnp.asarray(pixels), jnp.asarray(valid),
+            jnp.asarray(text_emb), jnp.asarray(text_valid), n_obj,
+        )
+        orig = jnp.asarray(
+            np.stack([t["orig_size"] for t in targets]).astype(np.float32)
+        )
+        post = postprocess_hoi(out, orig, subject_class=zero_shot_subject_filter)
+        tree = {k: np.asarray(v) for k, v in post.items()}
+        tree.update(pad_gt_arrays(targets, max_gt_boxes, max_gt_hois))
+        buf.add(np.asarray(ids, np.int32), tree)
+
+    _, tree = buf.gather_and_dedupe(gather_fn)
+    gt_tree = {k: tree.pop(k) for k in list(tree) if k.startswith("gt_")}
+    preds = to_image_results(
+        tree, subject_category_id, zero_shot_subject_filter
+    )
+    gts = unpack_gt_arrays(gt_tree)
+    return preds, gts
 
 
 def _collect_predictions(

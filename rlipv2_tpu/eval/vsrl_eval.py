@@ -1,0 +1,441 @@
+"""Official V-COCO evaluation protocol (scenario 1 / scenario 2 role AP +
+agent AP) and the official-detections generation step.
+
+Capability parity with the reference:
+  * `VCOCOeval._do_role_eval` / `_do_agent_eval`
+    (reference: datasets/vsrl_eval.py:212-446) — greedy score-ordered
+    matching on the PERSON box (+1-pixel IoU convention, `get_overlap`
+    :466-485), role-box overlap with the scenario-1 "no-role predicted"
+    rule (:287-301), per-GT `covered` flags, PASCAL-VOC continuous AP
+    (:488-509), and the published summary numbers (mean role AP and the
+    "omitting point" variant :343-344).
+  * detection-dict generation from model outputs
+    (reference: generate_vcoco_official.py:494-532): per HOI pair, keys
+    `{action}_agent` = score and `{action}_{role}` = object box + [score],
+    NaN object box when the predicted object class is the missing
+    category, and cut/hit/eat agent scores = max over their role variants.
+
+Decoupled from pycocotools: the ground-truth database is a plain list of
+per-image dicts (`vcocodb`), which callers build from V-COCO + COCO
+annotation files via `build_vcocodb` (gated on pycocotools) or construct
+directly in tests. The published AP#1/AP#2 numbers (BASELINE.md V-COCO
+rows) are defined by THIS protocol.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def get_overlap(boxes: np.ndarray, ref_box: np.ndarray) -> np.ndarray:
+    """IoU of `ref_box` against each row of `boxes`, with the official
+    +1-pixel width/height convention (reference: vsrl_eval.py:466-485)."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    ref_box = np.asarray(ref_box, np.float64).reshape(4)
+    ixmin = np.maximum(boxes[:, 0], ref_box[0])
+    iymin = np.maximum(boxes[:, 1], ref_box[1])
+    ixmax = np.minimum(boxes[:, 2], ref_box[2])
+    iymax = np.minimum(boxes[:, 3], ref_box[3])
+    iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
+    ih = np.maximum(iymax - iymin + 1.0, 0.0)
+    inters = iw * ih
+    uni = (
+        (ref_box[2] - ref_box[0] + 1.0) * (ref_box[3] - ref_box[1] + 1.0)
+        + (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+        - inters
+    )
+    return inters / uni
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
+    """Continuous PASCAL-VOC AP (reference: vsrl_eval.py:488-509)."""
+    mrec = np.concatenate(([0.0], rec, [1.0]))
+    mpre = np.concatenate(([0.0], prec, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    i = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+
+
+class VCOCOOfficialEval:
+    """vcocodb: list of per-image dicts with
+      id          - COCO image id
+      boxes       - (N, 4) xyxy GT boxes (all classes)
+      gt_classes  - (N,) contiguous class ids, person == 1
+      gt_actions  - (N, A) in {-1, 0, 1} (-1 = unannotated instance)
+      gt_role_id  - (N, A, 2) index into boxes or -1
+    actions: A action names; roles: per-action role-name lists
+    (['agent'] or ['agent', 'obj'/'instr', ...])."""
+
+    def __init__(self, vcocodb, actions: Sequence[str], roles):
+        self.vcocodb = vcocodb
+        self.actions = list(actions)
+        self.roles = [list(r) for r in roles]
+        self.num_actions = len(self.actions)
+
+    # -- detections ------------------------------------------------------
+    def _collect(self, dets_by_image, image_id):
+        """(agents (M, 4+A), roles (M, 5A, 2)) for one image (reference:
+        vsrl_eval.py:177-198)."""
+        A = self.num_actions
+        img_dets = dets_by_image.get(image_id, [])
+        agents = np.zeros((len(img_dets), 4 + A), np.float32)
+        roles = np.zeros((len(img_dets), 5 * A, 2), np.float32)
+        for m, det in enumerate(img_dets):
+            agents[m, :4] = det["person_box"]
+            for aid in range(A):
+                for j, rid in enumerate(self.roles[aid]):
+                    key = self.actions[aid] + "_" + rid
+                    if rid == "agent":
+                        agents[m, 4 + aid] = det[key]
+                    else:
+                        roles[m, 5 * aid : 5 * aid + 5, j - 1] = det[key]
+        return agents, roles
+
+    @staticmethod
+    def _group(dets):
+        by_image: dict = {}
+        for det in dets:
+            by_image.setdefault(int(det["image_id"]), []).append(det)
+        return by_image
+
+    # -- role AP ---------------------------------------------------------
+    def role_eval(self, dets, ovr_thresh: float = 0.5, scenario: int = 1):
+        """Returns {'role_ap': (A, 2) array w/ NaN for missing roles,
+        'avg_role_ap': float, 'avg_role_ap_no_point': float}
+        (reference: vsrl_eval.py:212-345)."""
+        A = self.num_actions
+        by_image = self._group(dets)
+        tp = [[[] for _ in range(2)] for _ in range(A)]
+        fp = [[[] for _ in range(2)] for _ in range(A)]
+        sc = [[[] for _ in range(2)] for _ in range(A)]
+        npos = np.zeros((A,), np.float64)
+
+        for entry in self.vcocodb:
+            gt_inds = np.where(entry["gt_classes"] == 1)[0]
+            gt_boxes = entry["boxes"][gt_inds]
+            gt_actions = entry["gt_actions"][gt_inds]
+            ignore = np.any(gt_actions == -1, axis=1)
+            npos += np.sum(gt_actions == 1, axis=0)
+
+            pred_agents, pred_roles = self._collect(by_image, int(entry["id"]))
+
+            for aid in range(A):
+                if len(self.roles[aid]) < 2:
+                    continue
+                for rid in range(len(self.roles[aid]) - 1):
+                    covered = np.zeros((gt_boxes.shape[0],), bool)
+                    gt_role_inds = entry["gt_role_id"][gt_inds, aid, rid]
+                    gt_roles = -np.ones_like(gt_boxes)
+                    for j in range(gt_boxes.shape[0]):
+                        if gt_role_inds[j] > -1:
+                            gt_roles[j] = entry["boxes"][gt_role_inds[j]]
+
+                    agent_boxes = pred_agents[:, :4]
+                    role_boxes = pred_roles[:, 5 * aid : 5 * aid + 4, rid]
+                    agent_scores = pred_roles[:, 5 * aid + 4, rid]
+                    valid = np.where(~np.isnan(agent_scores))[0]
+                    agent_scores = agent_scores[valid]
+                    agent_boxes = agent_boxes[valid, :]
+                    role_boxes = role_boxes[valid, :]
+
+                    for j in agent_scores.argsort()[::-1]:
+                        if gt_boxes.shape[0] == 0:
+                            sc[aid][rid].append(agent_scores[j])
+                            fp[aid][rid].append(1)
+                            tp[aid][rid].append(0)
+                            continue
+                        overlaps = get_overlap(gt_boxes, agent_boxes[j])
+                        jmax = overlaps.argmax()
+                        ovmax = overlaps.max()
+                        if ignore[jmax]:
+                            continue
+                        if np.all(gt_roles[jmax] == -1):
+                            if scenario == 1:
+                                # no GT role: correct only if no role
+                                # predicted (all-zero or all-NaN box)
+                                ov_role = (
+                                    1.0
+                                    if np.all(role_boxes[j] == 0.0)
+                                    or np.all(np.isnan(role_boxes[j]))
+                                    else 0.0
+                                )
+                            else:  # scenario 2: role prediction ignored
+                                ov_role = 1.0
+                        else:
+                            ov_role = float(
+                                get_overlap(
+                                    gt_roles[jmax].reshape(1, 4), role_boxes[j]
+                                )
+                            )
+                        is_true = gt_actions[jmax, aid] == 1
+                        sc[aid][rid].append(agent_scores[j])
+                        hit = (
+                            is_true
+                            and ovmax >= ovr_thresh
+                            and ov_role >= ovr_thresh
+                            and not covered[jmax]
+                        )
+                        if hit:
+                            covered[jmax] = True
+                        tp[aid][rid].append(1 if hit else 0)
+                        fp[aid][rid].append(0 if hit else 1)
+
+        role_ap = np.full((A, 2), np.nan, np.float64)
+        for aid in range(A):
+            if len(self.roles[aid]) < 2:
+                continue
+            for rid in range(len(self.roles[aid]) - 1):
+                a_fp = np.asarray(fp[aid][rid], np.float64)
+                a_tp = np.asarray(tp[aid][rid], np.float64)
+                a_sc = np.asarray(sc[aid][rid], np.float64)
+                idx = a_sc.argsort()[::-1]
+                a_fp = np.cumsum(a_fp[idx])
+                a_tp = np.cumsum(a_tp[idx])
+                rec = a_tp / max(float(npos[aid]), np.finfo(np.float64).eps)
+                prec = a_tp / np.maximum(a_tp + a_fp, np.finfo(np.float64).eps)
+                role_ap[aid, rid] = voc_ap(rec, prec)
+
+        avg = float(np.nanmean(role_ap))
+        out = {"role_ap": role_ap, "avg_role_ap": avg}
+        if self.num_actions >= 3:
+            # "omitting the action 'point'" summary (reference: :343-344 —
+            # the formula hardcodes the 26-action/25-role V-COCO layout)
+            out["avg_role_ap_no_point"] = float(
+                (np.nanmean(role_ap) * 25 - role_ap[-3][0]) / 24
+            )
+        return out
+
+    # -- agent AP --------------------------------------------------------
+    def agent_eval(self, dets, ovr_thresh: float = 0.5):
+        """Returns {'agent_ap': (A,), 'avg_agent_ap': float}
+        (reference: vsrl_eval.py:346-446)."""
+        A = self.num_actions
+        by_image = self._group(dets)
+        tp = [[] for _ in range(A)]
+        fp = [[] for _ in range(A)]
+        sc = [[] for _ in range(A)]
+        npos = np.zeros((A,), np.float64)
+
+        for entry in self.vcocodb:
+            gt_inds = np.where(entry["gt_classes"] == 1)[0]
+            gt_boxes = entry["boxes"][gt_inds]
+            gt_actions = entry["gt_actions"][gt_inds]
+            ignore = np.any(gt_actions == -1, axis=1)
+            npos += np.sum(gt_actions == 1, axis=0)
+
+            pred_agents, _ = self._collect(by_image, int(entry["id"]))
+            for aid in range(A):
+                covered = np.zeros((gt_boxes.shape[0],), bool)
+                agent_scores = pred_agents[:, 4 + aid]
+                agent_boxes = pred_agents[:, :4]
+                valid = np.where(~np.isnan(agent_scores))[0]
+                agent_scores = agent_scores[valid]
+                agent_boxes = agent_boxes[valid, :]
+                for j in agent_scores.argsort()[::-1]:
+                    if gt_boxes.shape[0] == 0:
+                        sc[aid].append(agent_scores[j])
+                        fp[aid].append(1)
+                        tp[aid].append(0)
+                        continue
+                    overlaps = get_overlap(gt_boxes, agent_boxes[j])
+                    jmax = overlaps.argmax()
+                    ovmax = overlaps.max()
+                    if ignore[jmax]:
+                        continue
+                    is_true = gt_actions[jmax, aid] == 1
+                    sc[aid].append(agent_scores[j])
+                    hit = is_true and ovmax >= ovr_thresh and not covered[jmax]
+                    if hit:
+                        covered[jmax] = True
+                    tp[aid].append(1 if hit else 0)
+                    fp[aid].append(0 if hit else 1)
+
+        agent_ap = np.zeros((A,), np.float64)
+        for aid in range(A):
+            a_fp = np.asarray(fp[aid], np.float64)
+            a_tp = np.asarray(tp[aid], np.float64)
+            a_sc = np.asarray(sc[aid], np.float64)
+            idx = a_sc.argsort()[::-1]
+            a_fp = np.cumsum(a_fp[idx])
+            a_tp = np.cumsum(a_tp[idx])
+            rec = a_tp / max(float(npos[aid]), np.finfo(np.float64).eps)
+            prec = a_tp / np.maximum(a_tp + a_fp, np.finfo(np.float64).eps)
+            agent_ap[aid] = voc_ap(rec, prec)
+        return {
+            "agent_ap": agent_ap,
+            "avg_agent_ap": float(np.nansum(agent_ap) / A),
+        }
+
+    def evaluate(self, dets, ovr_thresh: float = 0.5):
+        """Full official protocol: agent AP + scenario-1 + scenario-2
+        (reference: vsrl_eval.py:205-210)."""
+        out = {}
+        out.update(self.agent_eval(dets, ovr_thresh))
+        s1 = self.role_eval(dets, ovr_thresh, scenario=1)
+        s2 = self.role_eval(dets, ovr_thresh, scenario=2)
+        out["role_ap_scenario_1"] = s1["role_ap"]
+        out["AP_scenario_1"] = s1["avg_role_ap"]
+        out["role_ap_scenario_2"] = s2["role_ap"]
+        out["AP_scenario_2"] = s2["avg_role_ap"]
+        return out
+
+
+def detections_from_results(
+    image_ids: Sequence[int],
+    results: Sequence[dict],
+    verb_classes: Sequence[str],
+    missing_category_id: int = 80,
+    correct_mat: Optional[np.ndarray] = None,
+) -> list[dict]:
+    """Convert per-image eval results (the `to_image_results` contract:
+    labels/boxes concat [sub || obj], verb_scores (n, V), sub/obj ids)
+    into official V-COCO detection dicts
+    (reference: generate_vcoco_official.py:494-532).
+
+    verb_classes are the HOIA verb names ('hold_obj', 'cut_instr', ...);
+    `{action}_agent` carries the score (cut/hit/eat agents = max over
+    their obj/instr variants)."""
+    detections = []
+    for img_id, res in zip(image_ids, results):
+        labels = np.asarray(res["labels"])
+        boxes = np.asarray(res["boxes"], np.float64)
+        verb_scores = np.asarray(res["verb_scores"], np.float64)
+        sub_ids = np.asarray(res["sub_ids"])
+        obj_ids = np.asarray(res["obj_ids"])
+        if correct_mat is not None:
+            # official postprocessor masks scores by the (V, n_obj+1)
+            # correct_mat extended with an all-ones no-object column
+            # (reference: generate_vcoco_official.py:90-129)
+            cm = np.concatenate(
+                [correct_mat, np.ones((correct_mat.shape[0], 1))], axis=1
+            )
+            obj_labels = labels[obj_ids]
+            verb_scores = verb_scores * cm[:, obj_labels].T
+        for si, oi in zip(sub_ids, obj_ids):
+            det = {
+                "image_id": int(img_id),
+                "person_box": boxes[si].tolist(),
+            }
+            if int(labels[oi]) == missing_category_id:
+                object_box = [np.nan, np.nan, np.nan, np.nan]
+            else:
+                object_box = boxes[oi].tolist()
+            cut_agent = hit_agent = eat_agent = 0.0
+            pair = np.where(sub_ids == si)[0]
+            row = verb_scores[pair[np.where(obj_ids[pair] == oi)[0][0]]]
+            for idx, score in enumerate(row):
+                verb_class = verb_classes[idx]
+                score = float(score)
+                if len(verb_class.split("_")) == 1:
+                    det[f"{verb_class}_agent"] = score
+                elif "cut_" in verb_class:
+                    det[verb_class] = object_box + [score]
+                    cut_agent = max(cut_agent, score)
+                elif "hit_" in verb_class:
+                    det[verb_class] = object_box + [score]
+                    hit_agent = max(hit_agent, score)
+                elif "eat_" in verb_class:
+                    det[verb_class] = object_box + [score]
+                    eat_agent = max(eat_agent, score)
+                else:
+                    det[verb_class] = object_box + [score]
+                    det[
+                        "{}_agent".format(
+                            verb_class.replace("_obj", "").replace("_instr", "")
+                        )
+                    ] = score
+            det["cut_agent"] = cut_agent
+            det["hit_agent"] = hit_agent
+            det["eat_agent"] = eat_agent
+            detections.append(det)
+    return detections
+
+
+def save_detections(detections: list[dict], path) -> None:
+    """Official pickle artifact (reference: generate_vcoco_official.py:440
+    dumps with protocol 2)."""
+    with open(path, "wb") as f:
+        pickle.dump(detections, f, protocol=2)
+
+
+def build_vcocodb(vsrl_annot_file, coco_annot_file, split_file):
+    """Build the GT database from the official annotation files
+    (reference: vsrl_eval.py:72-174). Requires pycocotools."""
+    import json
+
+    from pycocotools.coco import COCO
+
+    coco = COCO(coco_annot_file)
+    with open(vsrl_annot_file) as f:
+        vsrl = json.load(f)
+    for x in vsrl:
+        x["role_object_id"] = (
+            np.array(x["role_object_id"]).reshape(len(x["role_name"]), -1).T
+        )
+        for k in ["ann_id", "label", "image_id"]:
+            x[k] = np.array(x[k]).reshape(-1, 1)
+    image_ids = np.loadtxt(open(split_file, "r"))
+    actions = [x["action_name"] for x in vsrl]
+    roles = [x["role_name"] for x in vsrl]
+    cat_ids = coco.getCatIds()
+    json_to_contig = {v: i + 1 for i, v in enumerate(cat_ids)}
+    num_actions = len(actions)
+
+    vcocodb = []
+    for entry in coco.loadImgs(image_ids.tolist()):
+        ann_ids = coco.getAnnIds(imgIds=entry["id"], iscrowd=None)
+        objs = coco.loadAnns(ann_ids)
+        valid_objs, valid_ann_ids = [], []
+        for i, obj in enumerate(objs):
+            if obj.get("ignore", 0) == 1:
+                continue
+            x1, y1 = obj["bbox"][0], obj["bbox"][1]
+            x2 = x1 + max(0.0, obj["bbox"][2] - 1.0)
+            y2 = y1 + max(0.0, obj["bbox"][3] - 1.0)
+            x1 = min(entry["width"] - 1.0, max(0.0, x1))
+            y1 = min(entry["height"] - 1.0, max(0.0, y1))
+            x2 = min(entry["width"] - 1.0, max(0.0, x2))
+            y2 = min(entry["height"] - 1.0, max(0.0, y2))
+            if obj["area"] > 0 and x2 > x1 and y2 > y1:
+                obj["clean_bbox"] = [x1, y1, x2, y2]
+                valid_objs.append(obj)
+                valid_ann_ids.append(ann_ids[i])
+        n = len(valid_objs)
+        boxes = np.zeros((n, 4), np.float32)
+        gt_classes = np.zeros((n,), np.int32)
+        gt_actions = -np.ones((n, num_actions), np.int32)
+        gt_role_id = -np.ones((n, num_actions, 2), np.int32)
+        ann_arr = np.asarray(valid_ann_ids)
+        for ix, obj in enumerate(valid_objs):
+            boxes[ix] = obj["clean_bbox"]
+            gt_classes[ix] = json_to_contig[obj["category_id"]]
+            ann_id = valid_ann_ids[ix]
+            if np.where(vsrl[0]["ann_id"] == ann_id)[0].size > 0:
+                gt_actions[ix] = 0
+                for a, x in enumerate(vsrl):
+                    has = np.where(
+                        np.logical_and(x["ann_id"] == ann_id, x["label"] == 1)
+                    )[0]
+                    if has.size > 0:
+                        gt_actions[ix, a] = 1
+                        rids = x["role_object_id"][has]
+                        for j in range(1, rids.shape[1]):
+                            if rids[0, j] == 0:
+                                continue
+                            aid = np.where(ann_arr == rids[0, j])[0]
+                            if aid.size > 0:
+                                gt_role_id[ix, a, j - 1] = aid[0]
+        vcocodb.append(
+            {
+                "id": entry["id"],
+                "boxes": boxes,
+                "gt_classes": gt_classes,
+                "gt_actions": gt_actions,
+                "gt_role_id": gt_role_id,
+            }
+        )
+    return vcocodb, actions, roles
