@@ -81,6 +81,17 @@ class ModelConfig:
     with_box_refine: bool = True
     subject_class: bool = False
     pseudo_verb: bool = False
+    # online = inter-verb similarity from the CURRENT forward's post-ALIF
+    # language states (reference: models/hoi.py:2197-2207); offline = from
+    # precomputed pooled text features (:2209-2216)
+    pseudo_verb_mode: str = "online"
+    # pair-quality curing heads whose sigmoid product suppresses verb
+    # scores (reference: models/hoi.py:2953-2956, 3036-3037)
+    verb_curing: bool = False
+    # masked entity modeling: cross-reconstruct sub/obj states from the
+    # partner + verb states and supervise with the standard class/box
+    # losses (reference: models/hoi.py:2958-2966, 3204-3280)
+    masked_entity_modeling: bool = False
     use_dab: bool = True
     random_refpoints_xy: bool = False
     # static text-slot sizes (negative sampling pads to these; the reference
@@ -120,14 +131,23 @@ class LossConfig:
     verb_loss_coef: float = 1.0
     bbox_loss_coef: float = 2.5
     giou_loss_coef: float = 1.0
-    obj_loss_type: str = "cross_entropy"  # cross_entropy | focal
-    verb_loss_type: str = "focal"  # focal | bce | soft_focal (RPL GIoU labels)
+    obj_loss_type: str = "cross_entropy"  # cross_entropy | focal | cross_modal_matching
+    # focal | bce | weighted_bce | asymmetric_bce | CB_focal_bce |
+    # cross_modal_matching (reference: models/hoi.py:3635,3925-4034)
+    verb_loss_type: str = "focal"
     eos_coef: float = 0.1
     focal_alpha: float = 0.25
     giou_verb_label: bool = False  # RPL: GIoU-soft verb labels
     triplet_filtering: bool = False
     naive_obj_smooth: float = 0.0
     naive_verb_smooth: float = 0.0
+    # cross-modal contrastive align (reference: models/hoi.py:4497-4619)
+    matching_symmetric: bool = True
+    # masked entity modeling recon losses (reference: models/hoi.py:4119-4128)
+    masked_loss_coef: float = 1.0
+    # exponential per-layer aux decay (reference: models/detr.py:608-621)
+    exponential_loss: bool = False
+    exponential_hyper: float = 0.8
     # max GT triplets per image after padding (static shapes)
     max_triplets: int = 64
 

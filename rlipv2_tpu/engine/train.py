@@ -98,15 +98,22 @@ def make_train_step(
         verb_valid = batch.text_valid[:, mcfg.max_obj_texts :]
         target_verb_sim = None
         if mcfg.pseudo_verb:
-            # offline-mode pseudo-verb soft labels from the pooled text
-            # features (reference's "offline" branch, models/hoi.py:2209-2216;
-            # the online variant uses post-ALIF language states)
             from rlipv2_tpu.losses.pseudo_verb import pseudo_verb_similarity
 
+            if mcfg.pseudo_verb_mode == "online":
+                # post-ALIF language states of the current forward,
+                # Euclidean metric (reference: models/hoi.py:2197-2207)
+                feats = jax.lax.stop_gradient(
+                    out["lang_states"][0, mcfg.max_obj_texts :]
+                )
+                metric = "euclidean"
+            else:
+                # offline: precomputed pooled text features, cosine metric
+                # (reference: models/hoi.py:2209-2216)
+                feats = batch.text_emb[0, mcfg.max_obj_texts :]
+                metric = "cosine"
             target_verb_sim = pseudo_verb_similarity(
-                batch.text_emb[0, mcfg.max_obj_texts :],
-                batch.targets.verb_labels,
-                verb_valid,
+                feats, batch.targets.verb_labels, verb_valid, metric=metric,
             )
         losses = criterion(
             out, batch.targets, obj_valid, verb_valid,

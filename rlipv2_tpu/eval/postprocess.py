@@ -31,9 +31,21 @@ from rlipv2_tpu.ops.boxes import box_cxcywh_to_xyxy
 NEG = -1e9
 
 
+def load_cooccurrence_prior(path) -> "jnp.ndarray":
+    """Load + smooth the object-verb co-occurrence prior
+    (reference: models/hoi.py:4787-4792 — `cond_prob_co_matrices` from
+    datasets/priors/obj_verb_cooccurrence.npz, additive 0.1/V smoothing,
+    row-normalized). Returns (n_obj, V)."""
+    import numpy as np
+
+    co = np.load(path)["cond_prob_co_matrices"].astype(np.float32)
+    co = co + 0.1 / co.shape[1]
+    return jnp.asarray(co / co.sum(axis=1, keepdims=True))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("use_sigmoid", "subject_class", "temperature"),
+    static_argnames=("use_sigmoid", "subject_class", "temperature", "verb_curing"),
 )
 def postprocess_hoi(
     outputs: dict,
@@ -43,11 +55,21 @@ def postprocess_hoi(
     use_sigmoid: bool = True,
     subject_class: bool = False,
     temperature: Optional[float] = None,
+    verb_curing: bool = False,
+    obj_verb_cooccurrence: Optional[jnp.ndarray] = None,  # (n_obj-1, V)
 ) -> dict:
     """Returns a dict of batched arrays:
     obj_scores/obj_labels (B, nq), verb_scores (B, nq, V),
     sub_boxes/obj_boxes (B, nq, 4) xyxy in original pixels,
-    sub_label_mask (B, nq) bool (True = keep; all True unless subject_class)."""
+    sub_label_mask (B, nq) bool (True = keep; all True unless subject_class).
+
+    verb_curing multiplies sigmoid verb scores by the model's pair-quality
+    `curing_score` (reference: models/hoi.py:4833-4836); when
+    `obj_verb_cooccurrence` is given, the final verb score uses the
+    object-conditional verb prior `obj_prob @ co` instead of the flat
+    object score (reference: models/hoi.py:4866-4869, the
+    `obj_verb_cooccurrence.npz` alternation — load with
+    `load_cooccurrence_prior`)."""
     obj_logits = outputs["pred_obj_logits"].astype(jnp.float32)
     verb_logits = outputs["pred_verb_logits"].astype(jnp.float32)
     if temperature:
@@ -64,9 +86,16 @@ def postprocess_hoi(
     obj_labels = obj_prob_fg.argmax(-1)
 
     verb_scores = jax.nn.sigmoid(verb_logits) if use_sigmoid else verb_logits
+    if verb_curing and "curing_score" in outputs:
+        verb_scores = verb_scores * outputs["curing_score"].astype(jnp.float32)
     if verb_valid is not None:
         verb_scores = verb_scores * verb_valid[:, None, :]
-    verb_scores = verb_scores * obj_scores[..., None]
+    if obj_verb_cooccurrence is not None:
+        verb_scores = verb_scores * jnp.einsum(
+            "bqo,ov->bqv", obj_prob_fg, obj_verb_cooccurrence.astype(jnp.float32)
+        )
+    else:
+        verb_scores = verb_scores * obj_scores[..., None]
 
     h, w = orig_sizes[:, 0], orig_sizes[:, 1]
     scale = jnp.stack([w, h, w, h], axis=1).astype(jnp.float32)[:, None, :]

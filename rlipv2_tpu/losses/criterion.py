@@ -71,6 +71,53 @@ class SetCriterionHOI:
     subject_class: bool = False
     pseudo_verb: bool = False
     temperature: float = 0.07
+    # per-verb statistics for the weighted/CB focal verb-loss variants
+    # (reference loads hico_verb_samples.npz: models/hoi.py:3674-3694)
+    verb_neg_weights: Optional[jnp.ndarray] = None  # (V,) for weighted_bce
+    verb_sample_counts: Optional[jnp.ndarray] = None  # (V,) for CB_focal_bce
+
+    def _contrastive_align(self, logits, match, positive_rows, tgt_valid,
+                           slot_valid):
+        """Cross-modal contrastive alignment (reference: models/hoi.py:
+        4497-4619 `_contrastive_align`). positive_rows: (B, M, T) bool —
+        the target positive map per GT (one-hot labels for obj/sub,
+        multi-hot verb labels with a zero no-verb column for verbs).
+        Unmatched queries' positives default to the LAST (no-obj/no-verb)
+        slot; returns the reference's SUM-reduced loss."""
+        c = self.cfg
+        B, Q, T = logits.shape
+        logits = logits.astype(jnp.float32) / self.temperature
+        if slot_valid is not None:
+            logits = jnp.where(slot_valid[:, None, :], logits, NEG)
+
+        # scatter target positive rows to matched query slots
+        scatter_idx = jnp.where(tgt_valid, match, Q)
+        pos = jnp.zeros((B, Q, T), bool)
+        pos = pos.at[:, :, T - 1].set(True)
+        pos = pos.at[jnp.arange(B)[:, None], scatter_idx].set(
+            positive_rows, mode="drop"
+        )
+
+        posf = pos.astype(jnp.float32)
+        neg_logits = logits
+
+        # vis-to-text: per query
+        pos_term = (-logits * posf).sum(-1)
+        neg_term = jax.nn.logsumexp(neg_logits, axis=-1)
+        num_pos = posf.sum(-1) + 1e-6
+        vis_with_pos = pos.any(-1)
+        v2t = jnp.where(vis_with_pos, pos_term / num_pos + neg_term, 0.0).sum()
+        if not c.matching_symmetric:
+            return v2t
+        # text-to-vis: per text slot
+        pos_term_t = (-logits * posf).sum(1)
+        neg_term_t = jax.nn.logsumexp(neg_logits, axis=1)
+        num_pos_t = posf.sum(1) + 1e-6
+        text_with_pos = pos.any(1)
+        t2v = jnp.where(
+            text_with_pos, pos_term_t / num_pos_t + neg_term_t, 0.0
+        ).sum()
+        return (v2t + t2v) / 2.0
 
     def _obj_ce(self, logits, match, labels, tgt_valid, slot_valid):
         """Weighted CE with no-object = last slot. Returns (loss, err%)."""
@@ -133,7 +180,7 @@ class SetCriterionHOI:
 
     def _verb_loss(
         self, verb_logits, match, targets, verb_valid, costs: MatchCosts,
-        target_verb_sim=None,
+        target_verb_sim=None, curing_score=None,
     ):
         c = self.cfg
         B, Q, V = verb_logits.shape
@@ -170,9 +217,89 @@ class SetCriterionHOI:
             # mean over valid elements (reference: unmasked elementwise mean)
             return (bce * mask).sum() / jnp.maximum(mask.sum() * Q, 1.0)
         pred = jax.nn.sigmoid(logits)
+        if curing_score is not None:
+            # verb curing suppresses verb predictions by the pair-quality
+            # score inside the focal loss too (reference: models/hoi.py:
+            # 4000-4002)
+            pred = pred * curing_score.astype(jnp.float32)
+        if c.verb_loss_type == "weighted_bce":
+            return self._weighted_bce(pred, target_full, verb_valid)
+        if c.verb_loss_type == "asymmetric_bce":
+            return self._asymmetric_bce(pred, target_full, verb_valid)
+        if c.verb_loss_type == "CB_focal_bce":
+            return self._cb_focal_bce(pred, target_full, verb_valid)
         if c.giou_verb_label or c.naive_verb_smooth > 0:
             return self._soft_neg_loss(pred, target_full, verb_valid)
         return self._neg_loss(pred, target_full, verb_valid)
+
+    def _weighted_bce(self, pred, gt, slot_valid, eps=1e-6):
+        """Per-verb negative down-weighting from dataset statistics
+        (reference: models/hoi.py:4353-4375 `_weighted_bce`)."""
+        pred = jnp.clip(pred, eps, 1.0 - eps)
+        mask = slot_valid[:, None, :].astype(pred.dtype)
+        V = pred.shape[-1]
+        nw = (
+            self.verb_neg_weights
+            if self.verb_neg_weights is not None
+            else jnp.ones((V,), pred.dtype)
+        )
+        pos = (gt == 1).astype(pred.dtype) * mask
+        neg = (gt < 1).astype(pred.dtype) * mask
+        pos_loss = (jnp.log(pred) * pos).sum()
+        neg_loss = (jnp.log(1 - pred) * nw[None, None, :] * neg).sum()
+        num_pos = pos.sum()
+        return jnp.where(
+            num_pos > 0, -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0),
+            -neg_loss,
+        )
+
+    def _asymmetric_bce(self, pred, gt, slot_valid, eps=1e-6,
+                        gamma_pos=0.0, gamma_neg=3.0, m=0.01, vol=1.0):
+        """Asymmetric focal BCE with probability margin on negatives
+        (reference: models/hoi.py:4405-4434 `_asymmetric_bce`)."""
+        mask = slot_valid[:, None, :].astype(pred.dtype)
+        pos = (gt == 1).astype(pred.dtype) * mask
+        neg = (gt < 1).astype(pred.dtype) * mask
+        neg_w = (1.0 - gt) ** 4
+        pred_p = jnp.clip(pred, eps, 1.0)
+        pos_loss = (jnp.log(pred_p) * (1 - pred_p) ** gamma_pos * vol * pos).sum()
+        pred_m = jnp.clip(pred - m, 0.0, 1.0 - eps)
+        neg_loss = (
+            jnp.log(1 - pred_m) * pred_m**gamma_neg * neg_w * vol * neg
+        ).sum()
+        num_pos = pos.sum()
+        return jnp.where(
+            num_pos > 0, -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0),
+            -neg_loss,
+        )
+
+    def _cb_focal_bce(self, pred, gt, slot_valid, eps=1e-6, gamma=2.0,
+                      alpha=0.5, vol=2.0, beta=0.9999):
+        """Class-balanced focal BCE weighted by per-verb effective sample
+        numbers (reference: models/hoi.py:4377-4403 `_CB_focal_bce`)."""
+        mask = slot_valid[:, None, :].astype(pred.dtype)
+        V = pred.shape[-1]
+        counts = (
+            self.verb_sample_counts
+            if self.verb_sample_counts is not None
+            else jnp.ones((V,), pred.dtype)
+        )
+        bw = ((1 - beta) / (1 - jnp.power(beta, counts)))[None, None, :]
+        pred = jnp.clip(pred, eps, 1.0 - eps)
+        pos = (gt == 1).astype(pred.dtype) * mask
+        neg = (gt < 1).astype(pred.dtype) * mask
+        neg_w = (1.0 - gt) ** 4
+        pos_loss = (
+            jnp.log(pred) * (1 - pred) ** gamma * alpha * vol * pos * bw
+        ).sum()
+        neg_loss = (
+            jnp.log(1 - pred) * pred**gamma * neg_w * (1 - alpha) * vol * neg * bw
+        ).sum()
+        num_pos = pos.sum()
+        return jnp.where(
+            num_pos > 0, -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0),
+            -neg_loss,
+        )
 
     def _box_losses(self, outputs, match, targets, num_interactions):
         src_sub = _gather_queries(outputs["pred_sub_boxes"].astype(jnp.float32), match)
@@ -220,21 +347,39 @@ class SetCriterionHOI:
         match = hungarian_match(costs.total)  # (B, M)
 
         losses = {}
-        obj_loss, obj_err = self._obj_ce(
-            outputs["pred_obj_logits"], match, targets.obj_labels, targets.valid,
-            obj_valid,
-        )
-        if self.subject_class:
-            sub_loss, sub_err = self._obj_ce(
-                outputs["pred_sub_logits"], match, targets.sub_labels, targets.valid,
+        if c.obj_loss_type == "cross_modal_matching":
+            T_obj = outputs["pred_obj_logits"].shape[-1]
+            obj_rows = jax.nn.one_hot(
+                targets.obj_labels, T_obj, dtype=jnp.bool_
+            ) & targets.valid[..., None]
+            losses["loss_obj_matching"] = self._contrastive_align(
+                outputs["pred_obj_logits"], match, obj_rows, targets.valid,
                 obj_valid,
             )
-            obj_loss = obj_loss + sub_loss
+            if self.subject_class:
+                sub_rows = jax.nn.one_hot(
+                    targets.sub_labels, T_obj, dtype=jnp.bool_
+                ) & targets.valid[..., None]
+                losses["loss_sub_matching"] = self._contrastive_align(
+                    outputs["pred_sub_logits"], match, sub_rows, targets.valid,
+                    obj_valid,
+                )
+        else:
+            obj_loss, obj_err = self._obj_ce(
+                outputs["pred_obj_logits"], match, targets.obj_labels,
+                targets.valid, obj_valid,
+            )
+            if self.subject_class:
+                sub_loss, sub_err = self._obj_ce(
+                    outputs["pred_sub_logits"], match, targets.sub_labels,
+                    targets.valid, obj_valid,
+                )
+                obj_loss = obj_loss + sub_loss
+                if log:
+                    losses["sub_class_error"] = sub_err
+            losses["loss_obj_ce"] = obj_loss
             if log:
-                losses["sub_class_error"] = sub_err
-        losses["loss_obj_ce"] = obj_loss
-        if log:
-            losses["obj_class_error"] = obj_err
+                losses["obj_class_error"] = obj_err
 
         # cardinality metric
         logits = outputs["pred_obj_logits"]
@@ -243,11 +388,46 @@ class SetCriterionHOI:
         tgt_len = targets.valid.sum(-1).astype(jnp.float32)
         losses["obj_cardinality_error"] = jnp.abs(card_pred - tgt_len).mean()
 
-        losses["loss_verb_ce"] = self._verb_loss(
-            outputs["pred_verb_logits"], match, targets, verb_valid, costs,
-            target_verb_sim,
-        )
+        if c.verb_loss_type == "cross_modal_matching":
+            # verb positive rows: multi-hot labels + zero no-verb column
+            # pinned to the LAST slot (reference: models/hoi.py:4529-4539)
+            verb_rows = (targets.verb_labels > 0) & targets.valid[..., None]
+            verb_rows = verb_rows.at[..., -1].set(False)
+            losses["loss_verb_matching"] = self._contrastive_align(
+                outputs["pred_verb_logits"], match, verb_rows, targets.valid,
+                verb_valid,
+            )
+        else:
+            losses["loss_verb_ce"] = self._verb_loss(
+                outputs["pred_verb_logits"], match, targets, verb_valid, costs,
+                target_verb_sim, outputs.get("curing_score"),
+            )
         losses.update(self._box_losses(outputs, match, targets, num_interactions))
+
+        if "recon_stat" in outputs:
+            # masked entity modeling: the same obj/box losses on the
+            # cross-reconstructed states, suffixed `_recon`
+            # (reference: models/hoi.py:4119-4128)
+            recon = outputs["recon_stat"]
+            r_obj, _ = self._obj_ce(
+                recon["pred_obj_logits"], match, targets.obj_labels,
+                targets.valid, obj_valid,
+            )
+            if self.subject_class and "pred_sub_logits" in recon:
+                r_sub, _ = self._obj_ce(
+                    recon["pred_sub_logits"], match, targets.sub_labels,
+                    targets.valid, obj_valid,
+                )
+                r_obj = r_obj + r_sub
+            losses["loss_obj_ce_recon"] = r_obj
+            losses.update(
+                {
+                    f"{k}_recon": v
+                    for k, v in self._box_losses(
+                        recon, match, targets, num_interactions
+                    ).items()
+                }
+            )
         return losses, costs, match
 
     def __call__(
@@ -395,7 +575,11 @@ class SetCriterionHOI:
 
     def weighted_total(self, losses: dict) -> jnp.ndarray:
         """Weighted sum matching the reference's weight_dict semantics
-        (reference: models/detr.py:571-621 + engine.py:106-109)."""
+        (reference: models/detr.py:571-621 + engine.py:106-109), including
+        the cross-modal matching / recon coefficients and the optional
+        exponential per-layer aux decay (reference: models/detr.py:608-621
+        — deeper aux layers get hyper^(dec_layers-1-i) on the six core
+        coefficients)."""
         c = self.cfg
         w = {
             "loss_obj_ce": c.obj_loss_coef,
@@ -404,10 +588,35 @@ class SetCriterionHOI:
             "loss_obj_bbox": c.bbox_loss_coef,
             "loss_sub_giou": c.giou_loss_coef,
             "loss_obj_giou": c.giou_loss_coef,
+            "loss_sub_matching": c.obj_loss_coef,
+            "loss_obj_matching": c.obj_loss_coef,
+            "loss_verb_matching": c.verb_loss_coef,
+            "loss_obj_ce_recon": c.obj_loss_coef * c.masked_loss_coef,
+            "loss_sub_bbox_recon": c.bbox_loss_coef * c.masked_loss_coef,
+            "loss_obj_bbox_recon": c.bbox_loss_coef * c.masked_loss_coef,
+            "loss_sub_giou_recon": c.giou_loss_coef * c.masked_loss_coef,
+            "loss_obj_giou_recon": c.giou_loss_coef * c.masked_loss_coef,
         }
+        exponential_keys = {
+            "loss_sub_bbox", "loss_obj_bbox", "loss_sub_giou",
+            "loss_obj_giou", "loss_obj_ce", "loss_verb_ce",
+        }
+        aux_idx = [
+            int(k.split("_")[-1])
+            for k in losses
+            if k.split("_")[-1].isdigit()
+        ]
+        dec_layers = (max(aux_idx) + 2) if aux_idx else 1
         total = 0.0
         for k, v in losses.items():
-            base = k.rsplit("_", 1)[0] if k.split("_")[-1].isdigit() else k
-            if base in w:
-                total = total + w[base] * v
+            tail = k.split("_")[-1]
+            if tail.isdigit():
+                base, i = k.rsplit("_", 1)[0], int(tail)
+                if base in w:
+                    coef = w[base]
+                    if c.exponential_loss and base in exponential_keys:
+                        coef = coef * c.exponential_hyper ** (dec_layers - 1 - i)
+                    total = total + coef * v
+            elif k in w:
+                total = total + w[k] * v
         return total

@@ -17,26 +17,39 @@ SIM_THRESHOLD = 0.3
 
 
 def pseudo_verb_similarity(
-    verb_text_features: jnp.ndarray,  # (Tv, D) pre-fusion pooled features
+    verb_text_features: jnp.ndarray,  # (Tv, D) verb text features
     verb_labels: jnp.ndarray,  # (B, M, Tv) multi-hot GT
     verb_valid: jnp.ndarray,  # (Tv,) or (B, Tv) valid verb slots
     threshold: float = SIM_THRESHOLD,
+    metric: str = "euclidean",
 ) -> jnp.ndarray:
-    """-> (B, M, Tv) soft pseudo labels in [0, 1]."""
+    """-> (B, M, Tv) soft pseudo labels in [0, 1].
+
+    metric='euclidean' is the ONLINE mode (features = the current
+    forward's post-ALIF language states; sim = rowmax(dist) - dist,
+    reference: models/hoi.py:2197-2207); metric='cosine' is the OFFLINE
+    mode (precomputed L2-normalized text features, reference :2209-2216)."""
     if verb_valid.ndim == 2:
         verb_valid = verb_valid[0]
     f = verb_text_features.astype(jnp.float32)
-    d2 = (
-        jnp.sum(f**2, -1)[:, None]
-        + jnp.sum(f**2, -1)[None, :]
-        - 2.0 * f @ f.T
-    )
-    dist = jnp.sqrt(jnp.maximum(d2, 0.0))  # (Tv, Tv)
-    big = jnp.where(
-        verb_valid[None, :] & verb_valid[:, None], dist, -jnp.inf
-    )
-    sim = big.max(-1, keepdims=True) - dist
-    sim = jnp.where(verb_valid[None, :] & verb_valid[:, None], sim, 0.0)
+    pair_valid = verb_valid[None, :] & verb_valid[:, None]
+    if metric == "euclidean":
+        d2 = (
+            jnp.sum(f**2, -1)[:, None]
+            + jnp.sum(f**2, -1)[None, :]
+            - 2.0 * f @ f.T
+        )
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))  # (Tv, Tv)
+        big = jnp.where(pair_valid, dist, -jnp.inf)
+        sim = big.max(-1, keepdims=True) - dist
+    elif metric == "cosine":
+        fn = f / jnp.maximum(
+            jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12
+        )
+        sim = fn @ fn.T
+    else:
+        raise ValueError(metric)
+    sim = jnp.where(pair_valid, sim, 0.0)
 
     labels = verb_labels.astype(jnp.float32)
     tvs = jnp.einsum("bmv,vw->bmw", labels, sim)

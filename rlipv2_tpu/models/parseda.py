@@ -155,6 +155,25 @@ class RLIPParSeDA(nn.Module):
             "refpoint_embed", emb_init, (c.num_queries, 4), jnp.float32
         )
 
+        if c.verb_curing:
+            # pair-quality curing heads (reference: models/hoi.py:2953-2956)
+            self.sub_curing = nn.Dense(1, dtype=dt, name="sub_curing")
+            self.obj_curing = nn.Dense(1, dtype=dt, name="obj_curing")
+        if c.masked_entity_modeling:
+            # cross-reconstruction (reference: models/hoi.py:2958-2966);
+            # recon boxes use dedicated MLP heads here because the decoder's
+            # per-layer box heads are decoder-internal in this rebuild
+            from rlipv2_tpu.models.layers import MLP
+
+            self.recon_linear = nn.Dense(
+                t.hidden_dim, dtype=dt, name="recon_linear"
+            )
+            self.recon_sub_bbox = MLP(
+                t.hidden_dim, 4, 3, dtype=dt, name="recon_sub_bbox"
+            )
+            self.recon_obj_bbox = MLP(
+                t.hidden_dim, 4, 3, dtype=dt, name="recon_obj_bbox"
+            )
         self.projection_text = nn.Dense(t.hidden_dim, dtype=dt, name="projection_text")
         # R-Tagger box-query projection (reference coord_proj,
         # models/ParSetransformer.py:507-518); params exist only when the
@@ -269,6 +288,13 @@ class RLIPParSeDA(nn.Module):
             "text_dec": text_dec,
             "text_resized_last": (
                 text_resized if text_resized.ndim == 3 else text_resized[-1]
+            ),
+            # post-ALIF language states (768-d, pre-resizer) — the online
+            # pseudo-verb source (reference memory_cache
+            # "text_memory_bf_resize": dab_deformable/deformable_
+            # transformer.py:599, consumed at models/hoi.py:2197-2207)
+            "lang_states": (
+                multi_lang if multi_lang.ndim == 3 else multi_lang[-1]
             ),
         }
 
@@ -465,9 +491,78 @@ class RLIPParSeDA(nn.Module):
             "pred_sub_boxes": sub_boxes[-1],
             "pred_obj_boxes": obj_boxes[-1],
         }
+        out["lang_states"] = enc["lang_states"].astype(jnp.float32)
         if c.subject_class:
             sub_logits = jnp.stack([s for _, _, s in layers_out]).astype(jnp.float32)
             out["pred_sub_logits"] = sub_logits[-1]
+
+        curing_score = None
+        if c.verb_curing:
+            # final-layer pair-quality score, shared with every aux layer
+            # (reference: models/hoi.py:3036-3037)
+            curing_score = (
+                jax.nn.sigmoid(self.sub_curing(hs_h[-1]).astype(jnp.float32))
+                * jax.nn.sigmoid(self.obj_curing(hs_o[-1]).astype(jnp.float32))
+            )  # (B, np, 1)
+            out["curing_score"] = curing_score
+
+        recon = None
+        if c.masked_entity_modeling:
+            # cross-reconstruction: subject states from (object, verb) and
+            # vice versa (reference: models/hoi.py:3204-3268)
+            from rlipv2_tpu.ops.positional import inverse_sigmoid
+
+            def recon_layer(lvl):
+                h_rec = self.recon_linear(
+                    jnp.concatenate([hs_o[lvl], hs_verb[lvl]], axis=-1)
+                )
+                o_rec = self.recon_linear(
+                    jnp.concatenate([hs_h[lvl], hs_verb[lvl]], axis=-1)
+                )
+                s_ref = inverse_sigmoid(ho["sub_refs"][lvl].astype(jnp.float32))
+                o_ref = inverse_sigmoid(ho["obj_refs"][lvl].astype(jnp.float32))
+                s_box = jax.nn.sigmoid(
+                    self.recon_sub_bbox(h_rec).astype(jnp.float32) + s_ref
+                )
+                o_box = jax.nn.sigmoid(
+                    self.recon_obj_bbox(o_rec).astype(jnp.float32) + o_ref
+                )
+                tm = text_dec[lvl]
+                tm = tm / jnp.maximum(
+                    jnp.linalg.norm(
+                        tm.astype(jnp.float32), axis=-1, keepdims=True
+                    ),
+                    1e-12,
+                ).astype(tm.dtype)
+                obj_text = self.projection_text(tm / 2.0)[:, :n_obj]
+                r_obj_logits = (
+                    jnp.einsum(
+                        "bcd,bed->bce",
+                        o_rec + self.bias_obj_a.astype(dt),
+                        obj_text,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + BIAS_C
+                ).astype(jnp.float32)
+                r_sub_logits = (
+                    jnp.einsum(
+                        "bcd,bed->bce",
+                        h_rec + self.bias_obj_a.astype(dt),
+                        obj_text,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + BIAS_C
+                ).astype(jnp.float32)
+                return {
+                    "pred_sub_logits": r_sub_logits,
+                    "pred_obj_logits": r_obj_logits,
+                    "pred_sub_boxes": s_box,
+                    "pred_obj_boxes": o_box,
+                }
+
+            recon = [recon_layer(l) for l in range(t.dec_layers)]
+            out["recon_stat"] = recon[-1]
+
         if c.aux_loss:
             aux = []
             for l in range(t.dec_layers - 1):
@@ -479,6 +574,10 @@ class RLIPParSeDA(nn.Module):
                 }
                 if c.subject_class:
                     a["pred_sub_logits"] = sub_logits[l]
+                if curing_score is not None:
+                    a["curing_score"] = curing_score
+                if recon is not None:
+                    a["recon_stat"] = recon[l]
                 aux.append(a)
             out["aux_outputs"] = aux
         return out
