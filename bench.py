@@ -1,14 +1,20 @@
-"""Benchmark: RLIP-ParSeDA-R50 batched inference throughput on one TPU chip.
+"""Benchmark: RLIP-ParSeDA-R50 on one TPU chip — batched inference
+throughput (primary metric) plus a train-step line.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "baseline_source": ..., "train_step_ms": N, "mfu_pct": N}
 
-Baseline note (BASELINE.md): the reference repo publishes no throughput —
-only a bs=1 FPS print (reference: engine.py:433-436). Public measurements
-of deformable-DETR-class R50 detectors with text fusion on A100 land
-around 10-20 img/s batched; we use 12 img/s as the PyTorch-A100 anchor for
-`vs_baseline` until a measured number replaces it. The north-star target
-is >= 5x that per chip (BASELINE.json).
+Baseline note: the reference repo publishes no throughput (its only speed
+artifact is a bs=1 FPS print, reference: engine.py:433-436), and no GPU is
+available here to measure it. `vs_baseline` is therefore anchored to the
+closest CITABLE public number: the Deformable-DETR paper (Zhu et al.,
+ICLR 2021, table 1) reports 19 FPS for R50 Deformable-DETR on a V100.
+RLIPv2-ParSeDA does strictly MORE work per image (RoBERTa text fusion in
+the encoder + two decoder stacks), so 19 img/s is an optimistic stand-in
+for the reference pipeline; the A100 north-star in BASELINE.md:40 remains
+>= 5x an A100 anchor. `mfu_pct` (model FLOPs / 197 TFLOP/s bf16 peak) is
+reported so the number is self-interpreting on TPU v5e.
 """
 
 from __future__ import annotations
@@ -18,7 +24,13 @@ import time
 
 import numpy as np
 
-PYTORCH_A100_ANCHOR_IMGS_PER_SEC = 12.0
+PYTORCH_ANCHOR_IMGS_PER_SEC = 19.0
+BASELINE_SOURCE = (
+    "Deformable-DETR R50 @ 19 FPS on V100 (Zhu et al., ICLR 2021); "
+    "RLIPv2-ParSeDA adds text fusion + verb decoder on top, so the anchor "
+    "favors the reference"
+)
+V5E_PEAK_FLOPS = 197e12  # bf16
 
 # eval-time resolution: reference val transform resizes shorter side to 800,
 # max 1333 (reference: datasets/hico.py:497-500); (832, 1344) is the padded
@@ -69,37 +81,109 @@ def main():
     # time between two queue depths (removes the fixed sync latency).
     fwd = jax.jit(
         lambda p, px, v, te, tv: jnp.sum(
-            model.apply(p, px, v, te, tv, cfg.max_obj_texts)["pred_verb_logits"]
+            model.apply(p, px, v, te, tv, cfg.max_obj_texts)[
+                "pred_verb_logits"
+            ].astype(jnp.float32)
         )
     )
-    float(fwd(params, pixels, valid, text_emb, text_valid))  # compile
 
-    def run(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fwd(params, pixels, valid, text_emb, text_valid)
-        float(out)  # full sync
-        return time.perf_counter() - t0
+    def marginal_time(f, *args, n=5):
+        float(f(*args))  # compile
 
-    run(1)  # warm
-    t_small = min(run(1) for _ in range(2))
-    t_big = min(run(6) for _ in range(2))
-    dt = (t_big - t_small) / 5.0
+        def run(k):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                out = f(*args)
+            float(out)  # full sync
+            return time.perf_counter() - t0
 
+        run(1)
+        t_small = min(run(1) for _ in range(2))
+        t_big = min(run(1 + n) for _ in range(2))
+        return (t_big - t_small) / n
+
+    dt = marginal_time(fwd, params, pixels, valid, text_emb, text_valid)
     imgs_per_sec = BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"RLIP-ParSeDA-R50 batched inference ({H}x{W}, bs{BATCH}, bf16, random weights)",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(
-                    imgs_per_sec / PYTORCH_A100_ANCHOR_IMGS_PER_SEC, 2
-                ),
-                "p50_latency_ms": round(dt * 1000, 1),
-            }
+
+    # --- train-step line: forward + Hungarian matching + losses + grads ---
+    train_ms = None
+    try:
+        from rlipv2_tpu.config import LossConfig
+        from rlipv2_tpu.losses import SetCriterionHOI
+        from rlipv2_tpu.structures import HOITargets
+
+        M = 24
+        criterion = SetCriterionHOI(LossConfig())
+        targets = HOITargets(
+            obj_labels=jnp.asarray(rng.randint(0, 80, (BATCH, M))),
+            sub_labels=jnp.zeros((BATCH, M), jnp.int32),
+            verb_labels=jnp.asarray(
+                (rng.rand(BATCH, M, cfg.max_verb_texts) > 0.9).astype(np.float32)
+            ),
+            sub_boxes=jnp.asarray(
+                rng.uniform(0.2, 0.8, (BATCH, M, 4)).astype(np.float32)
+            ),
+            obj_boxes=jnp.asarray(
+                rng.uniform(0.2, 0.8, (BATCH, M, 4)).astype(np.float32)
+            ),
+            valid=jnp.ones((BATCH, M), bool),
         )
-    )
+        obj_valid = text_valid[:, : cfg.max_obj_texts]
+        verb_valid = text_valid[:, cfg.max_obj_texts :]
+
+        def loss_fn(p, px, v, te, tv):
+            out = model.apply(p, px, v, te, tv, cfg.max_obj_texts)
+            losses = criterion(out, targets, obj_valid, verb_valid)
+            return criterion.weighted_total(losses)
+
+        gstep = jax.jit(
+            lambda p, px, v, te, tv: jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+                jax.grad(loss_fn)(p, px, v, te, tv),
+                0.0,
+            )
+        )
+        train_ms = marginal_time(
+            gstep, params, pixels, valid, text_emb, text_valid, n=3
+        ) * 1000.0
+    except Exception as e:  # train line is best-effort; report why
+        import sys
+
+        print(f"train-step bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        train_ms = None
+
+    # rough model FLOPs/image for MFU: R50 (~4 GFLOP @224^2, scaled to the
+    # bucket) + encoder/decoder matmuls; use XLA's own cost analysis.
+    try:
+        lowered = jax.jit(
+            lambda p, px, v, te, tv: model.apply(
+                p, px, v, te, tv, cfg.max_obj_texts
+            )["pred_verb_logits"]
+        ).lower(params, pixels, valid, text_emb, text_valid)
+        flops = lowered.compile().cost_analysis()["flops"]
+        mfu = 100.0 * (flops / dt) / V5E_PEAK_FLOPS
+    except Exception:
+        mfu = None
+
+    record = {
+        "metric": (
+            f"RLIP-ParSeDA-R50 batched inference ({H}x{W}, bs{BATCH}, "
+            "bf16, random weights)"
+        ),
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / PYTORCH_ANCHOR_IMGS_PER_SEC, 2),
+        "baseline_source": BASELINE_SOURCE,
+        "p50_latency_ms": round(dt * 1000, 1),
+    }
+    if train_ms is not None:
+        record["train_step_ms"] = round(train_ms, 1)
+        record["train_imgs_per_sec"] = round(BATCH / (train_ms / 1000.0), 2)
+    if mfu is not None:
+        record["mfu_pct"] = round(mfu, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

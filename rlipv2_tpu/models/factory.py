@@ -4,6 +4,7 @@ boolean-selector build in models/detr.py:320-701).
 Variant map (BASELINE.json configs):
   parse            — closed-vocab ParSe = RLIPParSe with fixed label texts
   rlip_parse       — vanilla-DETR open-vocab (RLIPParSe)
+  rlip_parse_v2    — vanilla-DETR + ALIF interleaved encoder (RLIPParSeV2)
   rlip_parsed      — deformable non-DAB, no ALIF (fusion_type=no_fusion)
   rlip_parsed_v2   — deformable non-DAB + ALIF (RLIPParSeD)
   rlip_parseda_v2  — DAB-deformable + ALIF (RLIPParSeDA, flagship)
@@ -17,13 +18,15 @@ from rlipv2_tpu.config import FusionConfig, ModelConfig
 
 
 def build_model(cfg: ModelConfig):
-    from rlipv2_tpu.models.parse import RLIPParSe
+    from rlipv2_tpu.models.parse import RLIPParSe, RLIPParSeV2
     from rlipv2_tpu.models.parsed import RLIPParSeD
     from rlipv2_tpu.models.parseda import RLIPParSeDA
 
     v = cfg.variant
     if v in ("rlip_parseda_v2",):
         return RLIPParSeDA(cfg)
+    if v in ("rlip_parse_v2",):
+        return RLIPParSeV2(cfg)
     if v in ("rlip_parsed_v2",):
         return RLIPParSeD(cfg)
     if v in ("rlip_parsed",):

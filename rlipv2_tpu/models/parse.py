@@ -115,6 +115,62 @@ class FusionEncoder(nn.Module):
         return x[:, :nq], x[:, nq:]
 
 
+class VanillaALIFEncoder(nn.Module):
+    """ALIF over a vanilla (dense-attention) encoder: every
+    `fusion_interval` layers insert a VLFuse block and ONE RobertaLayer on
+    the language path, then run the standard DETR encoder layer
+    (reference: models/ParSetransformer.py:1535-1610
+    `RLIPv2_CrossModelTransformerEncoder`; fusion_last_vis is trivially
+    true — there is only one feature level)."""
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, valid, lang_hidden, lang_valid,
+                 deterministic=True):
+        from rlipv2_tpu.models.fusion import BiAttentionBlock
+        from rlipv2_tpu.models.roberta import RobertaLayer, alif_additive_bool_mask
+
+        c = self.cfg
+        t = c.transformer
+        f = t.fusion
+        out = src
+        lang = lang_hidden
+        lang_states = []
+        fusion_idx = 0
+        for idx in range(t.enc_layers):
+            if idx % f.fusion_interval == 0:
+                out, lang = BiAttentionBlock(
+                    cfg=f,
+                    v_dim=t.hidden_dim,
+                    l_dim=c.text_encoder.hidden_size,
+                    num_feature_levels=1,
+                    dtype=self.dtype,
+                    name=f"vl_fuse_{fusion_idx}",
+                )(out, lang, pos, lang_valid, valid, deterministic)
+                lang = RobertaLayer(
+                    c.text_encoder, self.dtype, name=f"lang_layer_{fusion_idx}"
+                )(
+                    lang,
+                    alif_additive_bool_mask(lang_valid, self.dtype),
+                    deterministic,
+                )
+                lang_states.append(lang)
+                fusion_idx += 1
+            out = EncoderLayer(c, self.dtype, name=f"layer_{idx}")(
+                out, pos, valid, deterministic
+            )
+        if f.lang_aux_loss:
+            if f.fusion_interval == 1:
+                multi_lang = jnp.stack(lang_states[::2], axis=0)
+            else:
+                multi_lang = jnp.stack(lang_states, axis=0)
+        else:
+            multi_lang = lang_states[-1]
+        return out, multi_lang
+
+
 class RLIPParSe(nn.Module):
     cfg: ModelConfig
 
@@ -266,6 +322,176 @@ class RLIPParSe(nn.Module):
             "pred_verb_logits": outs[-1][1].astype(jnp.float32),
             "pred_sub_boxes": outs[-1][2],
             "pred_obj_boxes": outs[-1][3],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": o[0].astype(jnp.float32),
+                    "pred_verb_logits": o[1].astype(jnp.float32),
+                    "pred_sub_boxes": o[2],
+                    "pred_obj_boxes": o[3],
+                }
+                for o in outs[:-1]
+            ]
+        return out
+
+
+class RLIPParSeV2(nn.Module):
+    """RLIP-ParSe v2: the vanilla-DETR ParSe architecture with the ALIF
+    interleaved encoder instead of decode-time MDETR fusion.
+
+    Capability parity with `RLIP_ParSeTransformer_v2` + `RLIP_ParSe`
+    (reference: models/ParSetransformer.py:1207-1503 with
+    fusion_type=GLIP_attn, models/hoi.py:2259-2515): single-level
+    backbone, VanillaALIFEncoder, plain ho/verb decoders (the decoder's
+    text cross-attention is disabled in the reference,
+    ParSetransformer.py:1759-1760 commented out), verb query pos = sum of
+    the last-layer subject and object states (:1487-1489), and einsum
+    classification against the per-fusion-layer post-ALIF language states
+    resized to hidden_dim (:1495-1498 + hoi.py:2366-2450)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        t = c.transformer
+        self.compute_dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        dt = self.compute_dtype
+
+        if c.backbone.name.startswith("resnet"):
+            self.backbone = ResNet(
+                name_variant=c.backbone.name, num_outputs=1, dtype=dt
+            )
+        else:
+            from rlipv2_tpu.models.swin import SwinTransformer
+
+            self.backbone = SwinTransformer.from_name(
+                c.backbone.name, drop_path_rate=c.backbone.drop_path_rate, dtype=dt
+            )
+        self.text_encoder = RobertaModel(c.text_encoder, dtype=dt)
+        self.input_proj = nn.Dense(t.hidden_dim, dtype=dt, name="input_proj")
+        self.resizer = FeatureResizer(t.hidden_dim, dropout=0.1, dtype=dt)
+        self.encoder = VanillaALIFEncoder(c, dt, name="encoder")
+        self.ho_layers = [
+            DecoderLayer(c, dt, name=f"ho_dec_{i}") for i in range(t.dec_layers)
+        ]
+        self.verb_layers = [
+            DecoderLayer(c, dt, name=f"verb_dec_{i}") for i in range(t.dec_layers)
+        ]
+        emb = nn.initializers.normal(1.0)
+        self.query_embed = self.param(
+            "query_embed", emb, (c.num_queries, t.hidden_dim), jnp.float32
+        )
+        self.sub_bbox_embed = MLP(t.hidden_dim, 4, 3, dtype=dt, name="sub_bbox_embed")
+        self.obj_bbox_embed = MLP(t.hidden_dim, 4, 3, dtype=dt, name="obj_bbox_embed")
+        self.projection_text = nn.Dense(t.hidden_dim, dtype=dt, name="projection_text")
+        self.bias_obj_a = self.param(
+            "bias_obj_a", nn.initializers.zeros, (t.hidden_dim,), jnp.float32
+        )
+        self.bias_pred_a = self.param(
+            "bias_pred_a", nn.initializers.zeros, (t.hidden_dim,), jnp.float32
+        )
+
+    def encode_text(self, input_ids, attention_mask, deterministic: bool = True):
+        _, pooled = self.text_encoder(input_ids, attention_mask, deterministic)
+        return pooled
+
+    def __call__(
+        self,
+        pixels: jnp.ndarray,
+        pixel_valid: jnp.ndarray,
+        text_emb: jnp.ndarray,
+        text_valid: jnp.ndarray,
+        n_obj_texts: Optional[int] = None,
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        n_obj = c.max_obj_texts if n_obj_texts is None else n_obj_texts
+        nq = c.num_queries
+        np_ = nq // 2
+
+        feat = self.backbone(pixels.astype(dt))[-1]
+        h, w = feat.shape[1], feat.shape[2]
+        mask = downsample_mask(pixel_valid, h, w)
+        pos = sine_position_embedding(mask, num_pos_feats=t.hidden_dim // 2).astype(dt)
+        src = self.input_proj(feat).reshape(B, h * w, t.hidden_dim)
+        pos = pos.reshape(B, h * w, t.hidden_dim)
+        valid = mask.reshape(B, h * w)
+
+        memory, multi_lang = self.encoder(
+            src, pos, valid, text_emb.astype(dt), text_valid, deterministic
+        )
+
+        text_resized = self.resizer(multi_lang, deterministic)
+        if text_resized.ndim == 3:
+            text_dec = jnp.broadcast_to(
+                text_resized[None], (t.dec_layers, *text_resized.shape)
+            )
+        else:
+            text_dec = text_resized
+            F = text_dec.shape[0]
+            if F < t.dec_layers:
+                pad = jnp.broadcast_to(
+                    text_dec[-1:], (t.dec_layers - F, *text_dec.shape[1:])
+                )
+                text_dec = jnp.concatenate([text_dec, pad], axis=0)
+            elif F > t.dec_layers:
+                text_dec = text_dec[-t.dec_layers :]
+
+        query_pos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None], (B, nq, t.hidden_dim)
+        )
+        tgt = jnp.zeros_like(query_pos)
+        hs = []
+        for layer in self.ho_layers:
+            tgt = layer(tgt, query_pos, memory, pos, valid, deterministic)
+            hs.append(tgt)
+        hs_ho = jnp.stack(hs)
+
+        # verb queries: sum of last-layer sub/obj states as query pos with
+        # zero targets (reference: ParSetransformer.py:1487-1489)
+        verb_qpos = hs_ho[-1][:, :np_] + hs_ho[-1][:, np_:]
+        vt = jnp.zeros_like(verb_qpos)
+        hs_v = []
+        for layer in self.verb_layers:
+            vt = layer(vt, verb_qpos, memory, pos, valid, deterministic)
+            hs_v.append(vt)
+        hs_verb = jnp.stack(hs_v)
+
+        def classify(lvl):
+            hs_h, hs_o = hs_ho[lvl][:, :np_], hs_ho[lvl][:, np_:]
+            tm = text_dec[lvl]
+            tm = tm / jnp.maximum(
+                jnp.linalg.norm(tm.astype(jnp.float32), axis=-1, keepdims=True),
+                1e-12,
+            ).astype(tm.dtype)
+            proj = self.projection_text(tm / 2.0)
+            obj_text = proj[:, :n_obj]
+            pred_text = proj[:, n_obj:]
+            ol = jnp.einsum(
+                "bcd,bed->bce", hs_o + self.bias_obj_a.astype(dt), obj_text,
+                preferred_element_type=jnp.float32,
+            ) + BIAS_C
+            vl = jnp.einsum(
+                "bcd,bed->bce", hs_verb[lvl] + self.bias_pred_a.astype(dt),
+                pred_text, preferred_element_type=jnp.float32,
+            ) + BIAS_C
+            sb = jax.nn.sigmoid(self.sub_bbox_embed(hs_h))
+            ob = jax.nn.sigmoid(self.obj_bbox_embed(hs_o))
+            return ol, vl, sb.astype(jnp.float32), ob.astype(jnp.float32)
+
+        outs = [classify(l) for l in range(t.dec_layers)]
+        out = {
+            "pred_obj_logits": outs[-1][0].astype(jnp.float32),
+            "pred_verb_logits": outs[-1][1].astype(jnp.float32),
+            "pred_sub_boxes": outs[-1][2],
+            "pred_obj_boxes": outs[-1][3],
+            "lang_states": (
+                multi_lang if multi_lang.ndim == 3 else multi_lang[-1]
+            ).astype(jnp.float32),
         }
         if c.aux_loss:
             out["aux_outputs"] = [

@@ -146,8 +146,25 @@ def _separable_prepare(spatial_shapes, sampling_locations, attention_weights):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _msda_pallas(spatial_shapes, value, loc, attn):
-    """Separable Pallas forward; value in the public (B, S, H, D) layout.
-    Returns (B, Q, H*D) in value.dtype."""
+    """Locality-blocked Pallas forward (transposed layout + dynamic
+    y-windows, ms_deform_attn_v3.py); value in the public (B, S, H, D)
+    layout. Returns (B, Q, H*D) in value.dtype."""
+    from rlipv2_tpu.ops.ms_deform_attn_v3 import ms_deform_attn_transposed
+
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, D)
+    iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
+    out = ms_deform_attn_transposed(
+        iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
+    )  # (BH, Q, D) f32
+    out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
+    return out.astype(value.dtype)
+
+
+def _msda_pallas_dense(spatial_shapes, value, loc, attn):
+    """The dense separable kernel (no locality skipping) — kept for A/B
+    benchmarking (ms_deform_attn_pallas.py)."""
     from rlipv2_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_separable
 
     B, S, H, D = value.shape
@@ -156,7 +173,7 @@ def _msda_pallas(spatial_shapes, value, loc, attn):
     iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
     out = ms_deform_attn_separable(
         iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
-    )  # (BH, Q, D) f32
+    )
     out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
     return out.astype(value.dtype)
 
@@ -166,17 +183,38 @@ def _msda_pallas_fwd(spatial_shapes, value, loc, attn):
 
 
 def _msda_pallas_bwd(spatial_shapes, res, dout):
-    # Backward rides the XLA gather formulation (numerically verified
-    # against torch grid_sample autograd); a Pallas backward kernel is a
-    # planned optimization.
-    value, loc, attn = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: _ms_deform_attn_xla(v, spatial_shapes, l, a),
-        value,
-        loc,
-        attn,
+    """Pallas windowed backward: the kernel produces (dwy0, dwy1, dwx0,
+    dwx1, dvalue); the chain to (dloc, dattn) rides XLA autodiff of the
+    elementwise `_separable_prepare` weight math. Replaces both the
+    reference's six CUDA scatter kernels
+    (ms_deform_im2col_cuda.cuh:302-846) and round-1's XLA-gather VJP
+    (which OOMs HBM at 832x1344 bs8: the gathered corner tensor alone is
+    ~6 GB)."""
+    from rlipv2_tpu.ops.ms_deform_attn_v3 import (
+        ms_deform_attn_transposed_bwd,
     )
-    return vjp(dout.astype(value.dtype))
+
+    value, loc, attn = res
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, D)
+    iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
+    # dout (B, Q, H*D) -> (BH, Q, D)
+    g = jnp.swapaxes(dout.reshape(B, Q, H, D), 1, 2).reshape(B * H, Q, D)
+    gy0, gy1, gx0, gx1, dv = ms_deform_attn_transposed_bwd(
+        iy, ix, wy0, wy1, wx0, wx1, v, g, spatial_shapes
+    )
+    dvalue = jnp.swapaxes(dv.reshape(B, H, S, D), 1, 2).astype(value.dtype)
+
+    def prepare_weights(l, a):
+        _, _, a_wy0, a_wy1, a_wx0, a_wx1 = _separable_prepare(
+            spatial_shapes, l, a
+        )
+        return a_wy0, a_wy1, a_wx0, a_wx1
+
+    _, vjp = jax.vjp(prepare_weights, loc, attn)
+    dloc, dattn = vjp((gy0, gy1, gx0, gx1))
+    return dvalue, dloc.astype(loc.dtype), dattn.astype(attn.dtype)
 
 
 _msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
@@ -200,6 +238,10 @@ def ms_deform_attn(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _msda_pallas(
+            spatial_shapes, value, sampling_locations, attention_weights
+        )
+    if impl == "pallas_dense":
+        return _msda_pallas_dense(
             spatial_shapes, value, sampling_locations, attention_weights
         )
     return _ms_deform_attn_xla(

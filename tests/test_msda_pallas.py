@@ -28,8 +28,8 @@ def test_separable_kernel_matches_xla_interpret():
 
 
 def test_pallas_grad_matches_xla():
-    """The custom VJP (XLA-gather backward) must match autodiff of the XLA
-    path exactly."""
+    """The custom VJP (Pallas windowed backward kernel) must match
+    autodiff of the XLA path."""
     shapes = ((5, 6), (3, 3))
     B, H, D, P = 1, 2, 4, 2
     L = len(shapes)
@@ -44,11 +44,12 @@ def test_pallas_grad_matches_xla():
         return jnp.sum(ms_deform_attn(v, shapes, l, a, impl="xla") ** 2)
 
     def fp(v, l, a):
-        with pltpu.force_tpu_interpret_mode():
-            out = ms_deform_attn(v, shapes, l, a, impl="pallas")
-        return jnp.sum(out**2)
+        return jnp.sum(ms_deform_attn(v, shapes, l, a, impl="pallas") ** 2)
 
     gx = jax.grad(fx, argnums=(0, 1, 2))(value, loc, attn)
-    gp = jax.grad(fp, argnums=(0, 1, 2))(value, loc, attn)
+    # the context must cover grad tracing: the backward is a Pallas
+    # kernel too now (rlipv2_tpu/ops/ms_deform_attn_v3.py)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(fp, argnums=(0, 1, 2))(value, loc, attn)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

@@ -54,6 +54,48 @@ def test_rlip_parse_vanilla():
     check(out, cfg)
 
 
+def test_rlip_parse_v2_alif():
+    """v1 + ALIF vanilla encoder (reference:
+    models/ParSetransformer.py:1207-1503); completes the five
+    BASELINE.json model configs."""
+    from rlipv2_tpu.models.parse import RLIPParSeV2
+
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parse_v2")
+    model = build_model(cfg)
+    assert isinstance(model, RLIPParSeV2)
+    out = run_forward(model, cfg)
+    check(out, cfg)
+    # post-ALIF language states are exposed for online pseudo-verb
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    assert out["lang_states"].shape == (1, T, cfg.text_encoder.hidden_size)
+
+
+def test_rlip_parse_v2_gradients():
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parse_v2")
+    model = build_model(cfg)
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    rng = np.random.RandomState(1)
+    pixels = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    valid = jnp.ones((1, 64, 64), bool)
+    te = jnp.asarray(rng.randn(1, T, cfg.text_encoder.hidden_size).astype(np.float32))
+    tv = jnp.ones((1, T), bool)
+    params = model.init(
+        jax.random.PRNGKey(0), pixels, valid, te, tv, cfg.max_obj_texts
+    )
+
+    def loss(p):
+        out = model.apply(p, pixels, valid, te, tv, cfg.max_obj_texts)
+        return (
+            jnp.sum(out["pred_verb_logits"] ** 2)
+            + jnp.sum(out["pred_sub_boxes"])
+        )
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+    assert np.isfinite(norms).all()
+    assert sum(1 for n in norms if n > 0) > len(norms) * 0.5
+
+
 def test_factory_flagship():
     from rlipv2_tpu.models.parseda import RLIPParSeDA
 
