@@ -113,6 +113,16 @@ def main():
         from rlipv2_tpu.losses import SetCriterionHOI
         from rlipv2_tpu.structures import HOITargets
 
+        import dataclasses as _dc
+
+        from rlipv2_tpu.config import TransformerConfig
+
+        # encoder remat: the full bs8 train graph misses 16 GB HBM by
+        # ~40 MB without it
+        tcfg_remat = _dc.replace(cfg.transformer, remat_encoder=True)
+        train_cfg = _dc.replace(cfg, transformer=tcfg_remat)
+        train_model = RLIPParSeDA(train_cfg)
+
         M = 24
         criterion = SetCriterionHOI(LossConfig())
         targets = HOITargets(
@@ -133,7 +143,7 @@ def main():
         verb_valid = text_valid[:, cfg.max_obj_texts :]
 
         def loss_fn(p, px, v, te, tv):
-            out = model.apply(p, px, v, te, tv, cfg.max_obj_texts)
+            out = train_model.apply(p, px, v, te, tv, cfg.max_obj_texts)
             losses = criterion(out, targets, obj_valid, verb_valid)
             return criterion.weighted_total(losses)
 

@@ -66,6 +66,10 @@ class TransformerConfig:
     enc_n_points: int = 4
     dec_n_points: int = 4
     verb_query_tgt_type: str = "vanilla_MBF"  # vanilla | MBF | vanilla_MBF
+    # rematerialize deformable encoder layers in the backward (TPU
+    # equivalent of the reference's --use_checkpoint family; required to
+    # fit bs8 832x1344 training in 16 GB HBM)
+    remat_encoder: bool = False
     fusion: FusionConfig = field(default_factory=FusionConfig)
 
 

@@ -190,9 +190,17 @@ class ALIFEncoder(nn.Module):
                 lang_states.append(lang)
                 fusion_idx += 1
 
-            out = DeformableEncoderLayer(c, self.dtype, name=f"layer_{idx}")(
-                out, pos, refs, spatial_shapes, valid_mask, deterministic
-            )
+            layer = DeformableEncoderLayer(c, self.dtype, name=f"layer_{idx}")
+            if c.remat_encoder:
+                out = nn.remat(
+                    type(layer).__call__,
+                    static_argnums=(4, 6),  # spatial_shapes, deterministic
+                )(layer, out, pos, refs, spatial_shapes, valid_mask,
+                  deterministic)
+            else:
+                out = layer(
+                    out, pos, refs, spatial_shapes, valid_mask, deterministic
+                )
 
         if f.lang_aux_loss:
             if f.fusion_interval == 2:

@@ -410,80 +410,78 @@ def ms_deform_attn_transposed_bwd(
         dout = dout.astype(jnp.float32)
     dout = jnp.swapaxes(dout, 1, 2)
 
-    vals = []
+    # ONE pallas_call per level: the backward is level-separable, and a
+    # single call holding every level's f32 dv buffer in VMEM overflows
+    # the ~16 MB budget at 832x1344 (measured: 16.4 MB requested)
+    dvalue_pieces = []
+    g_pieces = []  # per level (gy0, gy1, gx0, gx1) slices
     off = 0
-    for (h, w, wpad, _, _) in plan:
+    for lvl, (h, w, wpad, ws, n_cover) in enumerate(plan):
         v = value[:, off : off + h * w].reshape(BH, h, w, D)
         v = jnp.transpose(v, (0, 1, 3, 2)).reshape(BH, h * D, w)
         if wpad != w:
             v = jnp.pad(v, ((0, 0), (0, 0), (0, wpad - w)))
-        vals.append(v)
         off += h * w
 
-    scalar_spec = pl.BlockSpec(
-        (1, LP, qb), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM
-    )
-    in_specs = [scalar_spec] * 6
-    for v in vals:
-        in_specs.append(
+        sl = slice(lvl * P, (lvl + 1) * P)
+        scalar_spec = pl.BlockSpec(
+            (1, P, qb), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM
+        )
+        in_specs = [scalar_spec] * 6 + [
+            pl.BlockSpec(
+                (1, v.shape[1], v.shape[2]), lambda b, q: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, D, qb), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((BH, v.shape[1], v.shape[2]), jnp.float32)
+        ] + [jax.ShapeDtypeStruct((BH, P, Qp), jnp.float32)] * 4
+        out_specs = [
             pl.BlockSpec(
                 (1, v.shape[1], v.shape[2]), lambda b, q: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-        )
-    in_specs.append(
-        pl.BlockSpec((1, D, qb), lambda b, q: (b, 0, q),
-                     memory_space=pltpu.VMEM)
-    )
+        ] + [
+            pl.BlockSpec((1, P, qb), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM)
+        ] * 4
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((BH, v.shape[1], v.shape[2]), jnp.float32)
-        for v in vals
-    ] + [jax.ShapeDtypeStruct((BH, LP, Qp), jnp.float32)] * 4
-    out_specs = [
-        pl.BlockSpec(
-            (1, v.shape[1], v.shape[2]), lambda b, q: (b, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        for v in vals
-    ] + [
-        pl.BlockSpec((1, LP, qb), lambda b, q: (b, 0, q),
-                     memory_space=pltpu.VMEM)
-    ] * 4
-
-    outs = pl.pallas_call(
-        functools.partial(
-            _v3_bwd_kernel, plan=plan, qb=qb, dim=D, n_points=P
-        ),
-        grid=(BH, Qp // qb),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((LP, qb), jnp.float32)] * 4,
-        cost_estimate=pl.CostEstimate(
-            flops=int(
-                6 * BH * Qp * sum(
-                    P * (ws * D) * (wpad / 128.0) * 2
-                    for (_, _, wpad, ws, _) in plan
-                )
+        outs = pl.pallas_call(
+            functools.partial(
+                _v3_bwd_kernel,
+                plan=(plan[lvl],),
+                qb=qb,
+                dim=D,
+                n_points=P,
             ),
-            bytes_accessed=BH * (2 * S * D * 8 + Qp * LP * 24 + Qp * D * 4),
-            transcendentals=0,
-        ),
-    )(iy, ix, wy0, wy1, wx0, wx1, *vals, dout)
-
-    dvals = outs[:L]
-    gy0, gy1, gx0, gx1 = outs[L:]
-
-    pieces = []
-    for (h, w, wpad, _, _), dv in zip(plan, dvals):
-        dv = dv[:, :, :w].reshape(BH, h, D, w)
+            grid=(BH, Qp // qb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((P, qb), jnp.float32)] * 4,
+            cost_estimate=pl.CostEstimate(
+                flops=int(6 * BH * Qp * P * (ws * D) * (wpad / 128.0) * 2),
+                bytes_accessed=BH * (
+                    2 * h * w * D * 8 + Qp * P * 24 + Qp * D * 4
+                ),
+                transcendentals=0,
+            ),
+        )(
+            iy[:, sl], ix[:, sl], wy0[:, sl], wy1[:, sl],
+            wx0[:, sl], wx1[:, sl], v, dout,
+        )
+        dv = outs[0][:, :, :w].reshape(BH, h, D, w)
         dv = jnp.transpose(dv, (0, 1, 3, 2)).reshape(BH, h * w, D)
-        pieces.append(dv)
-    dvalue = jnp.concatenate(pieces, axis=1).astype(value.dtype)
+        dvalue_pieces.append(dv)
+        g_pieces.append(outs[1:])
 
-    def unpack(g):
+    dvalue = jnp.concatenate(dvalue_pieces, axis=1).astype(value.dtype)
+
+    def unpack(i):
+        g = jnp.concatenate([gp[i] for gp in g_pieces], axis=1)
         g = jnp.swapaxes(g, 1, 2)  # (BH, Qp, LP)
         return g[:, :Q] if pad_q else g
 
-    return unpack(gy0), unpack(gy1), unpack(gx0), unpack(gx1), dvalue
+    return unpack(0), unpack(1), unpack(2), unpack(3), dvalue
