@@ -1,5 +1,10 @@
 from rlipv2_tpu.engine.optim import build_optimizer, learning_rate_schedule
-from rlipv2_tpu.engine.train import TrainState, create_train_state, make_train_step
+from rlipv2_tpu.engine.train import (
+    TrainState,
+    create_train_state,
+    fsdp_state_sharding,
+    make_train_step,
+)
 
 __all__ = [
     "build_optimizer",
@@ -7,4 +12,5 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "fsdp_state_sharding",
 ]

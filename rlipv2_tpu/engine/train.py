@@ -74,6 +74,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     accumulation_steps: int = 1,
     deterministic: bool = False,
+    state_sharding: Optional["TrainState"] = None,
 ):
     """Returns a jitted train_step(state, batch) -> (state, metrics).
 
@@ -201,10 +202,57 @@ def make_train_step(
         text_valid=data,
         targets=HOITargets(data, data, data, data, data, data),
     )
-    state_sh = TrainState(repl, repl, repl, repl, repl)
+    if state_sharding is None:
+        state_sharding = TrainState(repl, repl, repl, repl, repl)
     return jax.jit(
         train_step,
-        in_shardings=(state_sh, batch_sh),
-        out_shardings=(state_sh, repl),
+        in_shardings=(state_sharding, batch_sh),
+        out_shardings=(state_sharding, repl),
         donate_argnums=(0,),
+    )
+
+
+def fsdp_state_sharding(
+    mesh: Mesh,
+    state: TrainState,
+    axis: str = "model",
+    min_size: int = 1 << 17,
+) -> TrainState:
+    """FSDP-style parameter sharding over the mesh's `model` axis for the
+    big backbones (SURVEY §2.8: the reserved second axis for Swin-L).
+
+    Every param (and its optimizer/EMA twin) whose size >= min_size and
+    which has a dimension divisible by the axis length is sharded along
+    its largest such dimension; everything else is replicated. XLA's SPMD
+    partitioner inserts the all-gathers around each use and
+    reduce-scatters the gradients — the JAX spelling of ZeRO-3."""
+    repl = NamedSharding(mesh, P())
+    n = mesh.shape[axis]
+
+    def rule(x):
+        shape = getattr(x, "shape", None)
+        if not shape or n <= 1:
+            return repl
+        size = 1
+        for d in shape:
+            size *= d
+        if size < min_size:
+            return repl
+        for d in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if shape[d] % n == 0:
+                spec = [None] * len(shape)
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return TrainState(
+        step=repl,
+        params=jax.tree_util.tree_map(rule, state.params),
+        opt_state=jax.tree_util.tree_map(rule, state.opt_state),
+        ema_params=(
+            jax.tree_util.tree_map(rule, state.ema_params)
+            if state.ema_params is not None
+            else None
+        ),
+        rng=repl,
     )

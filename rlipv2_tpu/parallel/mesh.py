@@ -25,9 +25,10 @@ def create_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     devices=None,
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D data mesh by default; pass axis_names=('data','model') and a 2-D
-    device count split for hybrid DP+FSDP."""
+    """1-D data mesh by default; pass axis_names=('data','model') with a
+    `shape` factorization (e.g. (2, 4)) for hybrid DP+FSDP."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -35,10 +36,10 @@ def create_mesh(
     devs = np.asarray(devices)
     if len(axis_names) == 1:
         return Mesh(devs, axis_names)
-    # simple row-major factorization: data gets everything, model=1, unless
-    # caller reshapes devices themselves
-    shape = (len(devs),) + (1,) * (len(axis_names) - 1)
-    return Mesh(devs.reshape(shape), axis_names)
+    if shape is None:
+        # data gets everything, other axes = 1
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(tuple(shape)), axis_names)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
