@@ -177,6 +177,41 @@ def main():
     except Exception:
         mfu = None
 
+    # --- Swin-L memory proof: flagship with the Swin-L backbone fits and
+    # runs at eval resolution on one chip (SURVEY §2.8 / Swin-L configs
+    # reference models/swin/backbone.py:105-163) ---
+    swin_l_ips = None
+    try:
+        import dataclasses as _dc
+
+        from rlipv2_tpu.config import BackboneConfig
+
+        swin_cfg = _dc.replace(
+            cfg, backbone=BackboneConfig(name="swin_large", num_outputs=3)
+        )
+        swin_model = RLIPParSeDA(swin_cfg)
+        swin_params = _materialize_params(
+            swin_model, pixels[:1], valid[:1], text_emb[:1], text_valid[:1],
+            cfg.max_obj_texts, jnp.ones((2, 8), jnp.int32),
+            jnp.ones((2, 8), jnp.int32),
+        )
+        swin_params = jax.device_put(swin_params, dev)
+        swin_fwd = jax.jit(
+            lambda p, px, v, te, tv: jnp.sum(
+                swin_model.apply(p, px, v, te, tv, cfg.max_obj_texts)[
+                    "pred_verb_logits"
+                ].astype(jnp.float32)
+            )
+        )
+        dt_swin = marginal_time(
+            swin_fwd, swin_params, pixels, valid, text_emb, text_valid, n=3
+        )
+        swin_l_ips = BATCH / dt_swin
+    except Exception as e:
+        import sys
+
+        print(f"swin-l bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     record = {
         "metric": (
             f"RLIP-ParSeDA-R50 batched inference ({H}x{W}, bs{BATCH}, "
@@ -193,6 +228,8 @@ def main():
         record["train_imgs_per_sec"] = round(BATCH / (train_ms / 1000.0), 2)
     if mfu is not None:
         record["mfu_pct"] = round(mfu, 1)
+    if swin_l_ips is not None:
+        record["swin_l_imgs_per_sec"] = round(swin_l_ips, 2)
     print(json.dumps(record))
 
 

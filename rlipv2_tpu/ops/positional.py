@@ -90,3 +90,55 @@ def gen_sineembed_for_position(pos: jnp.ndarray, dim: int = 128) -> jnp.ndarray:
         pos_h = emb(pos[..., 3])
         return jnp.concatenate([pos_y, pos_x, pos_w, pos_h], axis=-1)
     raise ValueError(f"pos last dim must be 2 or 4, got {pos.shape[-1]}")
+
+
+def _make_learned_position_module():
+    import flax.linen as nn
+    import jax
+
+    class LearnedPositionEmbedding(nn.Module):
+        """Learned absolute position embedding (reference:
+        models/position_encoding.py:61-86 `PositionEmbeddingLearned`):
+        50-slot row/col embedding tables initialized uniform, concatenated
+        [x_emb || y_emb] per pixel; drop-in for the sine embedding
+        (selected in the reference via --position_embedding learned,
+        models/position_encoding.py:89-101)."""
+
+        num_pos_feats: int = 128
+        max_len: int = 50
+        dtype: "jnp.dtype" = jnp.float32
+
+        @nn.compact
+        def __call__(self, valid: jnp.ndarray) -> jnp.ndarray:
+            """valid: (B, H, W) bool -> (B, H, W, 2 * num_pos_feats)."""
+            B, H, W = valid.shape
+            init = jax.nn.initializers.uniform(scale=1.0)
+            row = self.param(
+                "row_embed", init, (self.max_len, self.num_pos_feats),
+                jnp.float32,
+            )
+            col = self.param(
+                "col_embed", init, (self.max_len, self.num_pos_feats),
+                jnp.float32,
+            )
+            x_emb = col[:W].astype(self.dtype)  # (W, F)
+            y_emb = row[:H].astype(self.dtype)  # (H, F)
+            pos = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        x_emb[None, :, :], (H, W, self.num_pos_feats)
+                    ),
+                    jnp.broadcast_to(
+                        y_emb[:, None, :], (H, W, self.num_pos_feats)
+                    ),
+                ],
+                axis=-1,
+            )
+            return jnp.broadcast_to(
+                pos[None], (B, H, W, 2 * self.num_pos_feats)
+            )
+
+    return LearnedPositionEmbedding
+
+
+LearnedPositionEmbedding = _make_learned_position_module()

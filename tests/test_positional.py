@@ -66,3 +66,23 @@ def test_inverse_sigmoid_roundtrip():
     x = jnp.asarray([0.01, 0.3, 0.5, 0.9, 0.999])
     y = 1 / (1 + np.exp(-np.asarray(inverse_sigmoid(x))))
     np.testing.assert_allclose(y, np.asarray(x), atol=1e-3)
+
+
+def test_learned_position_embedding():
+    """Learned absolute pos embedding (reference:
+    models/position_encoding.py:61-86): row/col tables, [x || y] concat."""
+    import jax
+
+    from rlipv2_tpu.ops.positional import LearnedPositionEmbedding
+
+    m = LearnedPositionEmbedding(num_pos_feats=8)
+    v = jnp.ones((2, 5, 7), bool)
+    params = m.init(jax.random.PRNGKey(0), v)
+    out = np.asarray(m.apply(params, v))
+    assert out.shape == (2, 5, 7, 16)
+    # first half = col embedding (constant down rows, varies across cols)
+    assert (out[0, 0, 0, :8] == out[0, 3, 0, :8]).all()
+    assert not (out[0, 0, 0, :8] == out[0, 0, 3, :8]).all()
+    # second half = row embedding (constant across cols, varies down rows)
+    assert (out[0, 2, 0, 8:] == out[0, 2, 5, 8:]).all()
+    assert not (out[0, 0, 0, 8:] == out[0, 3, 0, 8:]).all()
