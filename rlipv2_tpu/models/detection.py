@@ -166,14 +166,21 @@ def postprocess_detection(outputs, orig_sizes, top_k: int = 100):
 
 
 def coco_evaluate(predictions: list, coco_gt_path) -> Optional[dict]:
-    """pycocotools mAP (reference: datasets/coco_eval.py). predictions:
-    [{image_id, category_id, bbox xywh, score}]. Returns None when
-    pycocotools is unavailable in the environment."""
+    """COCO bbox mAP (reference: datasets/coco_eval.py). predictions:
+    [{image_id, category_id, bbox xywh, score}]. Uses pycocotools when
+    present, else the self-contained COCOeval reimplementation
+    (eval/coco_eval.py)."""
     try:
         from pycocotools.coco import COCO
         from pycocotools.cocoeval import COCOeval
     except ImportError:
-        return None
+        import json
+
+        from rlipv2_tpu.eval.coco_eval import coco_evaluate_bbox
+
+        with open(coco_gt_path) as f:
+            gt_json = json.load(f)
+        return coco_evaluate_bbox(predictions, gt_json)
     coco = COCO(str(coco_gt_path))
     dets = coco.loadRes(predictions)
     ev = COCOeval(coco, dets, "bbox")

@@ -38,4 +38,12 @@ def build_model(cfg: ModelConfig):
         return RLIPParSeD(cfg)
     if v in ("parse", "rlip_parse"):
         return RLIPParSe(cfg)
+    if v in ("qpic", "cdn", "qahoi"):
+        from rlipv2_tpu.models.closed_vocab import (
+            CDNModel,
+            QAHOIModel,
+            QPICModel,
+        )
+
+        return {"qpic": QPICModel, "cdn": CDNModel, "qahoi": QAHOIModel}[v](cfg)
     raise ValueError(f"unknown variant: {v}")

@@ -160,7 +160,7 @@ def ms_deform_attn_transposed(
     wx1: jnp.ndarray,
     value: jnp.ndarray,  # (BH, S, D) level-flattened row-major
     spatial_shapes: Sequence[tuple[int, int]],
-    query_block: int = 128,
+    query_block: int = 256,
     wsy: int = 8,
 ) -> jnp.ndarray:
     """Returns (BH, Q, D) float32."""
@@ -369,7 +369,7 @@ def _v3_bwd_kernel(
 def ms_deform_attn_transposed_bwd(
     iy, ix, wy0, wy1, wx0, wx1, value, dout,
     spatial_shapes,
-    query_block: int = 128,
+    query_block: int = 256,
     wsy: int = 8,
 ):
     """Backward pass of ms_deform_attn_transposed: returns

@@ -138,3 +138,36 @@ def test_variants_trainable():
     g = jax.grad(loss_fn)(params)
     gn = sum(float((np.asarray(x) ** 2).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def run_closed_vocab(model, cfg, B=1, H=64, W=64):
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    valid = jnp.ones((B, H, W), bool)
+    params = model.init(jax.random.PRNGKey(0), pixels, valid)
+    return model.apply(params, pixels, valid)
+
+
+def check_closed(out, cfg, nq):
+    assert out["pred_obj_logits"].shape == (1, nq, cfg.max_obj_texts)
+    assert out["pred_verb_logits"].shape == (1, nq, cfg.max_verb_texts)
+    assert out["pred_sub_boxes"].shape == (1, nq, 4)
+    for v in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+    assert len(out["aux_outputs"]) == cfg.transformer.dec_layers - 1
+
+
+def test_qpic_cdn_qahoi_closed_vocab():
+    """Closed-vocab baselines QPIC/CDN/QAHOI (reference:
+    models/hoi.py:3536, :2587, :2655) forward with finite outputs and the
+    repo-wide head contract (no-object = last logit column)."""
+    from rlipv2_tpu.models.closed_vocab import CDNModel, QAHOIModel, QPICModel
+
+    cfg = tiny_config()
+    nq = cfg.num_queries
+    out = run_closed_vocab(QPICModel(cfg), cfg)
+    check_closed(out, cfg, nq)
+    out = run_closed_vocab(CDNModel(cfg), cfg)
+    check_closed(out, cfg, nq)
+    out = run_closed_vocab(QAHOIModel(cfg), cfg)
+    check_closed(out, cfg, nq)
