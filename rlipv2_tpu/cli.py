@@ -61,6 +61,33 @@ def get_parser():
     p.add_argument("--max_steps", type=int, default=None, help="debug: cap steps/epoch")
     p.add_argument("--giou_verb_label", action="store_true", help="RPL soft labels")
     p.add_argument("--triplet_filtering", action="store_true")
+    # round-2 capability knobs
+    p.add_argument("--variant", default=None,
+                   choices=[None, "rlip_parseda_v2", "rlip_parsed_v2",
+                            "rlip_parsed", "rlip_parse", "rlip_parse_v2"],
+                   help="override the preset's model variant (the "
+                        "closed-vocab qpic/cdn/qahoi baselines live in "
+                        "models/factory.py for API use; their heads take "
+                        "no text inputs so the text CLI paths don't apply)")
+    p.add_argument("--verb_loss_type", default=None,
+                   help="focal | bce | weighted_bce | asymmetric_bce | "
+                        "CB_focal_bce | cross_modal_matching")
+    p.add_argument("--obj_loss_type", default=None,
+                   help="cross_entropy | focal | cross_modal_matching")
+    p.add_argument("--exponential_loss", action="store_true",
+                   help="exponential per-layer aux decay")
+    p.add_argument("--exponential_hyper", type=float, default=0.8)
+    p.add_argument("--pseudo_verb", action="store_true")
+    p.add_argument("--pseudo_verb_mode", default="online",
+                   choices=["online", "offline"])
+    p.add_argument("--verb_curing", action="store_true")
+    p.add_argument("--masked_entity_modeling", action="store_true")
+    p.add_argument("--remat_encoder", action="store_true",
+                   help="rematerialize encoder layers (fit bs8 832x1344 "
+                        "training in 16 GB HBM)")
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="model-axis size for FSDP param sharding "
+                        "(1 = pure data parallel)")
     return p
 
 
@@ -75,7 +102,29 @@ def build_everything(args):
     from rlipv2_tpu.models.parseda import RLIPParSeDA, init_model_params
     from rlipv2_tpu.parallel import create_mesh
 
+    import dataclasses as _dc
+
+    from rlipv2_tpu.models.factory import build_model
+
     cfg = PRESETS[args.preset]()
+    model_overrides = {}
+    if args.variant:
+        model_overrides["variant"] = args.variant
+    if args.pseudo_verb:
+        model_overrides["pseudo_verb"] = True
+        model_overrides["pseudo_verb_mode"] = args.pseudo_verb_mode
+    if args.verb_curing:
+        model_overrides["verb_curing"] = True
+    if args.masked_entity_modeling:
+        model_overrides["masked_entity_modeling"] = True
+        model_overrides["subject_class"] = True
+    if model_overrides:
+        cfg = _dc.replace(cfg, **model_overrides)
+    if args.remat_encoder:
+        cfg = _dc.replace(
+            cfg,
+            transformer=_dc.replace(cfg.transformer, remat_encoder=True),
+        )
     tcfg = TrainConfig(
         lr=args.lr,
         lr_backbone=args.lr_backbone,
@@ -87,33 +136,62 @@ def build_everything(args):
         ema=args.ema,
         seed=args.seed,
     )
+    loss_overrides = {}
+    if args.verb_loss_type:
+        loss_overrides["verb_loss_type"] = args.verb_loss_type
+    if args.obj_loss_type:
+        loss_overrides["obj_loss_type"] = args.obj_loss_type
     lcfg = LossConfig(
         giou_verb_label=args.giou_verb_label,
         triplet_filtering=args.triplet_filtering,
+        exponential_loss=args.exponential_loss,
+        exponential_hyper=args.exponential_hyper,
+        **loss_overrides,
     )
 
-    model = RLIPParSeDA(cfg)
-    criterion = SetCriterionHOI(lcfg, subject_class=cfg.subject_class)
+    model = build_model(cfg)
+    criterion = SetCriterionHOI(
+        lcfg,
+        subject_class=cfg.subject_class,
+        pseudo_verb=cfg.pseudo_verb,
+    )
 
     B = args.batch_size
     T = cfg.max_obj_texts + cfg.max_verb_texts
     params = init_model_params(
-        model,
-        jax.random.PRNGKey(args.seed),
-        jnp.zeros((1, 64, 64, 3)),
-        jnp.ones((1, 64, 64), bool),
-        jnp.zeros((1, T, cfg.text_encoder.hidden_size)),
-        jnp.ones((1, T), bool),
-        cfg.max_obj_texts,
-        jnp.ones((1, 8), jnp.int32),
-        jnp.ones((1, 8), jnp.int32),
-    )
+            model,
+            jax.random.PRNGKey(args.seed),
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.ones((1, 64, 64), bool),
+            jnp.zeros((1, T, cfg.text_encoder.hidden_size)),
+            jnp.ones((1, T), bool),
+            cfg.max_obj_texts,
+            jnp.ones((1, 8), jnp.int32),
+            jnp.ones((1, 8), jnp.int32),
+        )
     state, tx = create_train_state(params, tcfg, steps_per_epoch=1000)
-    mesh = create_mesh() if len(jax.devices()) > 1 else None
-    step = make_train_step(model, criterion, tx, cfg, tcfg, mesh)
+    n_dev = len(jax.devices())
+    state_sharding = None
+    if args.fsdp > 1 and n_dev % args.fsdp == 0:
+        from rlipv2_tpu.engine import fsdp_state_sharding
 
-    encode = jax.jit(
-        lambda p, i, m: model.apply(p, i, m, method=RLIPParSeDA.encode_text)
+        mesh = create_mesh(
+            axis_names=("data", "model"),
+            shape=(n_dev // args.fsdp, args.fsdp),
+        )
+        state_sharding = fsdp_state_sharding(mesh, state)
+        state = jax.device_put(state, state_sharding)
+    else:
+        mesh = create_mesh() if n_dev > 1 else None
+    step = make_train_step(
+        model, criterion, tx, cfg, tcfg, mesh, state_sharding=state_sharding
+    )
+
+    encode_method = getattr(type(model), "encode_text", None)
+    encode = (
+        jax.jit(lambda p, i, m: model.apply(p, i, m, method=encode_method))
+        if encode_method is not None
+        else None  # closed-vocab variants carry no text encoder
     )
     tokenizer = None
     if args.tokenizer_dir:

@@ -171,8 +171,17 @@ def rlip_parseda_v2_swin(size: str = "large_384") -> ModelConfig:
     )
 
 
+def rlip_parsed_v2_r50() -> ModelConfig:
+    """RLIP-ParSeD v2 (deformable non-DAB + ALIF) — the R-Tagger backbone
+    config (reference: scripts/verb_tagger/train_vg_RLIP_ParSeD_v2_tagger_resnet.sh)."""
+    return dataclasses.replace(rlip_parseda_v2_r50(), variant="rlip_parsed_v2")
+
+
 PRESETS = {
     "rlip_parseda_v2_r50": rlip_parseda_v2_r50,
     "rlip_parseda_v2_swin_t": lambda: rlip_parseda_v2_swin("tiny"),
     "rlip_parseda_v2_swin_l": lambda: rlip_parseda_v2_swin("large_384"),
+    # canonical long name used by the experiment scripts
+    "rlip_parseda_v2_swin_large": lambda: rlip_parseda_v2_swin("large_384"),
+    "rlip_parsed_v2_r50": rlip_parsed_v2_r50,
 }
