@@ -310,3 +310,443 @@ class QAHOIModel(_ClosedVocabBase):
             query_pos_in=qpos,
         )
         return self.heads(dec["hs"])
+
+
+class SepDETRHOIModel(QPICModel):
+    """SepDETRHOI (reference models/hoi.py:1295-1349 + the ParSe
+    transformer's split decoding): vanilla DETR encoder, ho decoder over
+    paired (sub, obj) queries, then a verb decoder whose targets are the
+    MBF fusion of the final sub/obj states — the closed-vocabulary
+    precursor of ParSe (Linear heads instead of text einsums)."""
+
+    def setup(self):
+        from rlipv2_tpu.models.layers import MultiBranchFusion
+
+        super().setup()
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        np_ = c.num_queries // 2
+        self.verb_dec_layers = [
+            DecoderLayer(c, dt, name=f"verb_dec_{i}")
+            for i in range(t.dec_layers)
+        ]
+        self.verb_query_embed = self.param(
+            "verb_query_embed", nn.initializers.normal(1.0),
+            (np_, t.hidden_dim), jnp.float32,
+        )
+        self.verb_tgt_generator = MultiBranchFusion(t.hidden_dim, 16, dtype=dt)
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        nq = c.num_queries
+        np_ = nq // 2
+        memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
+        qpos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None], (B, nq, t.hidden_dim)
+        )
+        tgt = jnp.zeros_like(qpos)
+        hs = []
+        for layer in self.dec_layers:
+            tgt = layer(tgt, qpos, memory, pos, valid, deterministic)
+            hs.append(tgt)
+        hs_ho = jnp.stack(hs)
+        hs_h, hs_o = hs_ho[:, :, :np_], hs_ho[:, :, np_:]
+
+        verb_qpos = jnp.broadcast_to(
+            self.verb_query_embed.astype(dt)[None], (B, np_, t.hidden_dim)
+        )
+        vt = self.verb_tgt_generator(hs_ho[-1][:, :np_], hs_ho[-1][:, np_:])
+        hs_v = []
+        for layer in self.verb_dec_layers:
+            vt = layer(vt, verb_qpos, memory, pos, valid, deterministic)
+            hs_v.append(vt)
+        hs_verb = jnp.stack(hs_v)
+
+        obj_logits = self.obj_class_embed(hs_o).astype(jnp.float32)
+        verb_logits = self.verb_class_embed(hs_verb).astype(jnp.float32)
+        sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs_h)).astype(jnp.float32)
+        obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs_o)).astype(jnp.float32)
+        out = {
+            "pred_obj_logits": obj_logits[-1],
+            "pred_verb_logits": verb_logits[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits[l],
+                    "pred_verb_logits": verb_logits[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out
+
+
+class SepDDETRHOIv3Model(_ClosedVocabBase):
+    """SepDDETRHOI v3 (reference models/deformable_transformer.py:29-223
+    SepDeformableTransformerHOIv3): multi-scale deformable encoder,
+    ParSe-split non-DAB ho decoder with separate sub/obj 2-d reference
+    heads, verb decoder over MBF-fused pair states — the closed-vocab
+    precursor of ParSeD."""
+
+    num_levels: int = 3
+
+    def setup(self):
+        from rlipv2_tpu.models.dab_decoder import DABHOIDecoder
+        from rlipv2_tpu.models.deformable import DeformableEncoder
+        from rlipv2_tpu.models.layers import MultiBranchFusion
+
+        c = self.cfg
+        t = c.transformer
+        self.setup_common()
+        dt = self.compute_dtype
+        projs, norms = [], []
+        for i in range(t.num_feature_levels):
+            if i < self.num_levels:
+                projs.append(
+                    nn.Conv(t.hidden_dim, (1, 1), use_bias=True, dtype=dt,
+                            name=f"input_proj_{i}")
+                )
+            else:
+                projs.append(
+                    nn.Conv(t.hidden_dim, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), use_bias=True, dtype=dt,
+                            name=f"input_proj_{i}")
+                )
+            norms.append(
+                nn.GroupNorm(num_groups=32, dtype=dt, name=f"input_norm_{i}")
+            )
+        self.input_projs = projs
+        self.input_norms = norms
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (t.num_feature_levels, t.hidden_dim), jnp.float32,
+        )
+        self.encoder = DeformableEncoder(t, dtype=dt)
+        self.ho_decoder = DABHOIDecoder(
+            t, parse=True, use_dab=False, do_self_attn=True,
+            refine_boxes=False, dtype=dt,
+        )
+        self.verb_decoder = DABHOIDecoder(
+            t, parse=False, use_dab=False, do_self_attn=True,
+            refine_boxes=False, dtype=dt,
+        )
+        self.query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (c.num_queries, 2 * t.hidden_dim), jnp.float32,
+        )
+        self.reference_points_sub = nn.Dense(
+            2, dtype=dt, name="reference_points_sub"
+        )
+        self.reference_points_obj = nn.Dense(
+            2, dtype=dt, name="reference_points_obj"
+        )
+        self.verb_tgt_generator = MultiBranchFusion(t.hidden_dim, 16, dtype=dt)
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        from rlipv2_tpu.models.deformable import compute_valid_ratios
+
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        nq = c.num_queries
+        np_ = nq // 2
+        feats = self.backbone(pixels.astype(dt))
+        srcs, masks, pos_embeds = [], [], []
+        for i in range(t.num_feature_levels):
+            if i < self.num_levels:
+                src = self.input_norms[i](self.input_projs[i](feats[i]))
+            elif i == self.num_levels:
+                src = self.input_norms[i](self.input_projs[i](feats[-1]))
+            else:
+                src = self.input_norms[i](self.input_projs[i](srcs[-1]))
+            h, w = src.shape[1], src.shape[2]
+            mask = downsample_mask(pixel_valid, h, w)
+            pos = sine_position_embedding(
+                mask, num_pos_feats=t.hidden_dim // 2
+            ).astype(dt)
+            srcs.append(src)
+            masks.append(mask)
+            pos_embeds.append(pos)
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        src_flat = jnp.concatenate(
+            [s.reshape(B, -1, t.hidden_dim) for s in srcs], axis=1
+        )
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                (p + self.level_embed[i].astype(dt)).reshape(
+                    B, -1, t.hidden_dim
+                )
+                for i, p in enumerate(pos_embeds)
+            ],
+            axis=1,
+        )
+        valid_ratios = compute_valid_ratios(masks)
+        memory = self.encoder(
+            src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+            deterministic,
+        )
+
+        qe = self.query_embed.astype(dt)
+        query_pos = jnp.broadcast_to(
+            qe[None, :, : t.hidden_dim], (B, nq, t.hidden_dim)
+        )
+        tgt = jnp.broadcast_to(qe[None, :, t.hidden_dim :], (B, nq, t.hidden_dim))
+        sub_ref = jax.nn.sigmoid(self.reference_points_sub(query_pos[:, :np_]))
+        obj_ref = jax.nn.sigmoid(self.reference_points_obj(query_pos[:, np_:]))
+
+        ho = self.ho_decoder(
+            tgt, sub_ref, obj_ref, memory, spatial_shapes, valid_ratios,
+            mask_flat, deterministic, query_pos_in=query_pos,
+        )
+        hs_ho = ho["hs"]
+        hs_h, hs_o = hs_ho[:, :, :np_], hs_ho[:, :, np_:]
+
+        vt = self.verb_tgt_generator(hs_ho[-1][:, :np_], hs_ho[-1][:, np_:])
+        verb = self.verb_decoder(
+            vt, sub_ref, obj_ref, memory, spatial_shapes, valid_ratios,
+            mask_flat, deterministic,
+            query_pos_in=query_pos[:, :np_] + query_pos[:, np_:],
+        )
+        hs_verb = verb["hs"]
+
+        obj_logits = self.obj_class_embed(hs_o).astype(jnp.float32)
+        verb_logits = self.verb_class_embed(hs_verb).astype(jnp.float32)
+        sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs_h)).astype(jnp.float32)
+        obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs_o)).astype(jnp.float32)
+        out = {
+            "pred_obj_logits": obj_logits[-1],
+            "pred_verb_logits": verb_logits[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits[l],
+                    "pred_verb_logits": verb_logits[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out
+
+
+def count_fusion(x, y):
+    """Count-sketch style fusion (reference models/hoi.py:299-300)."""
+    return jax.nn.relu(x + y) - (x - y) * (x - y)
+
+
+class SemanticGraph(nn.Module):
+    """Verb-semantic graph over word embeddings, `embedded_dot_pro` mode
+    (reference models/hoi.py:302-398): single-head scaled dot-product
+    attention over the (V, 300) verb embedding table + residual proj."""
+
+    hidden_dim: int = 256
+    num_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (V, E)
+        d = self.hidden_dim
+        for i in range(self.num_layers):
+            q = nn.Dense(d, dtype=self.dtype, name=f"semantic_q_{i}")(x)
+            k = nn.Dense(d, dtype=self.dtype, name=f"semantic_k_{i}")(x)
+            v = nn.Dense(d, dtype=self.dtype, name=f"semantic_v_{i}")(x)
+            att = jax.nn.softmax(
+                (q @ k.T).astype(jnp.float32) / jnp.sqrt(float(d)), axis=-1
+            ).astype(v.dtype)
+            agg = jax.nn.relu(att @ v)
+            if i == 0:
+                x = agg + nn.Dense(
+                    d, dtype=self.dtype, name="semantic_proj_res"
+                )(x)
+            else:
+                x = agg + x
+        return x
+
+
+class _BilinearTransformerLayer(nn.Module):
+    """Intra-modal enhance layer, `bilinear` relation (reference
+    models/hoi.py:467-548): per-head bilinear attention with learned
+    coefficient vector, concat heads, bottleneck FFN, residual."""
+
+    hidden_dim: int = 256
+    nheads: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (..., nq, C)
+        d = self.hidden_dim
+        hh = d // self.nheads
+        heads = []
+        for i in range(self.nheads):
+            b1 = nn.Dense(d, dtype=self.dtype, name=f"bilinear1_{i}")(x)
+            b2 = nn.Dense(d, dtype=self.dtype, name=f"bilinear2_{i}")(x)
+            coef = self.param(
+                f"coef_{i}",
+                nn.initializers.constant(1.0 / jnp.sqrt(float(d))),
+                (d,), jnp.float32,
+            )
+            b1 = b1 * coef.astype(b1.dtype)
+            att = jax.nn.softmax(
+                jnp.einsum("...cd,...ed->...ce", b1, b2).astype(jnp.float32),
+                axis=-1,
+            ).astype(x.dtype)
+            emb = nn.Dense(hh, dtype=self.dtype, name=f"W3_{i}")(x)
+            heads.append(jnp.einsum("...ce,...ef->...cf", att, emb))
+        cat = jnp.concatenate(heads, axis=-1)
+        cat = nn.Dense(2 * d, dtype=self.dtype, name="W2")(cat)
+        cat = jax.nn.relu(nn.LayerNorm(dtype=self.dtype, name="ln")(cat))
+        return x + nn.Dense(d, dtype=self.dtype, name="W1")(cat)
+
+
+class _MHCrossAttLayer(nn.Module):
+    """Inter-modal calibration, `GClike` relation (reference
+    models/hoi.py:668-745): squeeze-excite style cross gating between
+    vision (vx) and semantic (sx) streams."""
+
+    hidden_dim: int = 256
+    nheads: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vx, sx):
+        d = self.hidden_dim
+        hh = d // self.nheads
+
+        def branch(x_self, x_other, tag):
+            outs = []
+            for i in range(self.nheads):
+                gate = jax.nn.sigmoid(
+                    nn.Dense(hh, dtype=self.dtype, name=f"{tag}_ex_{i}")(
+                        jax.nn.relu(
+                            nn.Dense(
+                                hh, dtype=self.dtype, name=f"{tag}_sq_{i}"
+                            )(x_other)
+                        )
+                    )
+                )
+                outs.append(
+                    gate
+                    * nn.Dense(hh, dtype=self.dtype, name=f"{tag}_W3_{i}")(
+                        x_self
+                    )
+                )
+            cat = jnp.concatenate(outs, axis=-1)
+            cat = nn.Dense(d, dtype=self.dtype, name=f"{tag}_W2")(cat)
+            cat = jax.nn.relu(
+                nn.LayerNorm(dtype=self.dtype, name=f"{tag}_ln")(cat)
+            )
+            return x_self + nn.Dense(d, dtype=self.dtype, name=f"{tag}_W1")(cat)
+
+        return branch(vx, sx, "vision"), branch(sx, vx, "semantic")
+
+
+class OCNModel(QPICModel):
+    """OCN — Object-guided Cross-modal Calibration Network (reference
+    models/hoi.py:1048-1240): QPIC-style vanilla DETR HOI detection plus
+    (1) a SemanticGraph over verb word embeddings, (2) statistical-prior
+    aggregation through the object-verb co-occurrence matrix gathered at
+    the argmax object class, (3) CrossModalCalibration (inter GC-like
+    cross attention + intra bilinear layers), (4) count_fusion of the
+    calibrated vision/semantic streams feeding the verb head.
+
+    The verb word-embedding table and the co-occurrence prior are module
+    parameters (uniform / random init) so the checkpoint converter can
+    inject the reference's GloVe table and
+    `datasets/priors/obj_verb_cooccurrence.npz` (with the reference's
+    Laplace smoothing applied by the loader, tools/convert_annotations.py)."""
+
+    word_dim: int = 300
+
+    def setup(self):
+        super().setup()
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        self.verb_word_embedding = self.param(
+            "verb_word_embedding", nn.initializers.normal(1.0),
+            (self.n_verb, self.word_dim), jnp.float32,
+        )
+        self.obj_verb_co = self.param(
+            "obj_verb_co",
+            nn.initializers.constant(1.0 / self.n_verb),
+            (self.n_obj + 1, self.n_verb), jnp.float32,
+        )
+        self.semantic_graph = SemanticGraph(t.hidden_dim, 1, dtype=dt)
+        self.cross_att = _MHCrossAttLayer(t.hidden_dim, 2, dtype=dt)
+        self.vision_intra = _BilinearTransformerLayer(t.hidden_dim, 2, dtype=dt)
+        self.semantic_intra = _BilinearTransformerLayer(
+            t.hidden_dim, 2, dtype=dt
+        )
+        self.fusion_1 = nn.Dense(t.hidden_dim, dtype=dt, name="fusion_1")
+        self.fusion_2 = nn.Dense(t.hidden_dim, dtype=dt, name="fusion_2")
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
+        qpos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None],
+            (B, c.num_queries, t.hidden_dim),
+        )
+        tgt = jnp.zeros_like(qpos)
+        hs = []
+        for layer in self.dec_layers:
+            tgt = layer(tgt, qpos, memory, pos, valid, deterministic)
+            hs.append(tgt)
+        hs = jnp.stack(hs)  # (layers, B, nq, C)
+
+        # word-embedding table, L2-normalized (reference norm_tensor)
+        emb = self.verb_word_embedding
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+        )
+        semantic = self.semantic_graph(emb.astype(dt))  # (V, C)
+
+        obj_logits = self.obj_class_embed(hs).astype(jnp.float32)
+        sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs)).astype(jnp.float32)
+        obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs)).astype(jnp.float32)
+
+        # statistical-prior aggregation at the argmax object class
+        obj_idx = jnp.argmax(obj_logits, axis=-1)  # (layers, B, nq)
+        co = jnp.take(self.obj_verb_co, obj_idx, axis=0)  # (l, B, nq, V)
+        semantic_aug = jnp.einsum(
+            "lbqv,vc->lbqc", co.astype(dt), semantic
+        )
+        cross_hs, cross_sem = self.cross_att(hs, semantic_aug)
+        cross_hs = self.vision_intra(cross_hs)
+        cross_sem = self.semantic_intra(cross_sem)
+        hs_aug = count_fusion(self.fusion_1(cross_hs), self.fusion_2(cross_sem))
+        verb_logits = self.verb_class_embed(hs_aug).astype(jnp.float32)
+
+        out = {
+            "pred_obj_logits": obj_logits[-1],
+            "pred_verb_logits": verb_logits[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits[l],
+                    "pred_verb_logits": verb_logits[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out

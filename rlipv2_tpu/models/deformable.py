@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from rlipv2_tpu.config import TextEncoderConfig, TransformerConfig
 from rlipv2_tpu.models.fusion import BiAttentionBlock
@@ -93,6 +94,12 @@ class DeformableEncoderLayer(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, valid_mask)
+        # tag for the selective remat policy (save_only_these_names in
+        # ALIFEncoder): the deformable-attention kernel is ~8x the cost of
+        # the rest of the layer, so the backward recompute keeps its
+        # output (~95 MB bf16/layer at 832x1344 bs8) instead of re-running
+        # it. No-op when the layer is not under nn.remat.
+        attn_out = checkpoint_name(attn_out, "msda_out")
         src = src + nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
 
@@ -195,6 +202,9 @@ class ALIFEncoder(nn.Module):
                 out = nn.remat(
                     type(layer).__call__,
                     static_argnums=(4, 6),  # spatial_shapes, deterministic
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "msda_out"
+                    ),
                 )(layer, out, pos, refs, spatial_shapes, valid_mask,
                   deterministic)
             else:

@@ -38,12 +38,22 @@ def build_model(cfg: ModelConfig):
         return RLIPParSeD(cfg)
     if v in ("parse", "rlip_parse"):
         return RLIPParSe(cfg)
-    if v in ("qpic", "cdn", "qahoi"):
+    if v in ("qpic", "cdn", "qahoi", "ocn", "sep_detr_hoi", "sep_ddetr_hoi_v3"):
         from rlipv2_tpu.models.closed_vocab import (
             CDNModel,
+            OCNModel,
             QAHOIModel,
             QPICModel,
+            SepDDETRHOIv3Model,
+            SepDETRHOIModel,
         )
 
-        return {"qpic": QPICModel, "cdn": CDNModel, "qahoi": QAHOIModel}[v](cfg)
+        return {
+            "qpic": QPICModel,
+            "cdn": CDNModel,
+            "qahoi": QAHOIModel,
+            "ocn": OCNModel,
+            "sep_detr_hoi": SepDETRHOIModel,
+            "sep_ddetr_hoi_v3": SepDDETRHOIv3Model,
+        }[v](cfg)
     raise ValueError(f"unknown variant: {v}")

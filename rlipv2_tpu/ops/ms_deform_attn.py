@@ -147,8 +147,25 @@ def _separable_prepare(spatial_shapes, sampling_locations, attention_weights):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _msda_pallas(spatial_shapes, value, loc, attn):
     """Locality-blocked Pallas forward (transposed layout + dynamic
-    y-windows, ms_deform_attn_v3.py); value in the public (B, S, H, D)
-    layout. Returns (B, Q, H*D) in value.dtype."""
+    y-windows + scalar-prefetched window plans, ms_deform_attn_v4.py);
+    value in the public (B, S, H, D) layout. Returns (B, Q, H*D) in
+    value.dtype."""
+    from rlipv2_tpu.ops.ms_deform_attn_v4 import ms_deform_attn_v4
+
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, D)
+    iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
+    out = ms_deform_attn_v4(
+        iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
+    )  # (BH, Q, D) f32
+    out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
+    return out.astype(value.dtype)
+
+
+def _msda_pallas_v3(spatial_shapes, value, loc, attn):
+    """The v3 kernel (in-kernel window reductions + pl.when sweep) —
+    kept for A/B benchmarking (ms_deform_attn_v3.py)."""
     from rlipv2_tpu.ops.ms_deform_attn_v3 import ms_deform_attn_transposed
 
     B, S, H, D = value.shape
@@ -157,7 +174,7 @@ def _msda_pallas(spatial_shapes, value, loc, attn):
     iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
     out = ms_deform_attn_transposed(
         iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
-    )  # (BH, Q, D) f32
+    )
     out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
     return out.astype(value.dtype)
 
@@ -190,9 +207,7 @@ def _msda_pallas_bwd(spatial_shapes, res, dout):
     (ms_deform_im2col_cuda.cuh:302-846) and round-1's XLA-gather VJP
     (which OOMs HBM at 832x1344 bs8: the gathered corner tensor alone is
     ~6 GB)."""
-    from rlipv2_tpu.ops.ms_deform_attn_v3 import (
-        ms_deform_attn_transposed_bwd,
-    )
+    from rlipv2_tpu.ops.ms_deform_attn_v4 import ms_deform_attn_v4_bwd
 
     value, loc, attn = res
     B, S, H, D = value.shape
@@ -201,7 +216,7 @@ def _msda_pallas_bwd(spatial_shapes, res, dout):
     iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
     # dout (B, Q, H*D) -> (BH, Q, D)
     g = jnp.swapaxes(dout.reshape(B, Q, H, D), 1, 2).reshape(B * H, Q, D)
-    gy0, gy1, gx0, gx1, dv = ms_deform_attn_transposed_bwd(
+    gy0, gy1, gx0, gx1, dv = ms_deform_attn_v4_bwd(
         iy, ix, wy0, wy1, wx0, wx1, v, g, spatial_shapes
     )
     dvalue = jnp.swapaxes(dv.reshape(B, H, S, D), 1, 2).astype(value.dtype)
@@ -238,6 +253,10 @@ def ms_deform_attn(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _msda_pallas(
+            spatial_shapes, value, sampling_locations, attention_weights
+        )
+    if impl == "pallas_v3":
+        return _msda_pallas_v3(
             spatial_shapes, value, sampling_locations, attention_weights
         )
     if impl == "pallas_dense":

@@ -1,0 +1,495 @@
+"""v4 Pallas TPU kernel for multi-scale deformable attention.
+
+Evolution of the v3 design (ms_deform_attn_v3.py — transposed (H*D, W_pad)
+value layout, dynamic y-windows on sublanes). v3 measured ~40 ms at
+832x1344 bs8 regardless of tile shape — i.e. NOT matmul-bound. The two
+dominant overheads were:
+
+  * in-kernel cross-lane `jnp.min/max` reductions over the (P, qb) index
+    block (2 per level per program = 8 slow lane-reductions per block);
+  * the window-coverage chain `pl.when(min_iy + k*ws <= max_iy + 1)` for
+    k = 1..n_cover — up to ~26 guarded regions per block at 832x1344,
+    each costing hundreds of cycles even when the predicate is false.
+
+v4 removes both:
+
+  * the per-(bh, level, qblock) window anchor `min_iy` and the EXACT
+    dynamic window count `n_win = (max_iy + 1 - min_iy) // ws + 1` are
+    computed OUTSIDE the kernel (two tiny XLA reductions over the already
+    materialized index tensor) and handed to the kernel through scalar
+    prefetch (SMEM), so the kernel body contains no lane reductions;
+  * the window sweep is one `jax.lax.fori_loop(0, n_win)` with a dynamic
+    trip count — on the fast path (local sampling, one window) the body
+    runs exactly once and there are ZERO conditional regions.
+
+Everything else keeps the v3 math: per point an x one-hot mixer
+Cx_p (W_pad, qb) carrying wx*attn, one MXU matmul T = V_yw @ Cx_p per
+point per window, y bilinear blend as a sublane mask, disjoint bucket
+masks for multi-window exactness (arbitrary/global sampling stays exact,
+far samples just cost extra loop iterations).
+
+The backward keeps the same structure (value scatter = transposed one-hot
+matmul, weight grads = masked sublane reductions; replaces the six
+atomics-based CUDA scatter kernels of the reference,
+models/ops/src/cuda/ms_deform_im2col_cuda.cuh:302-846) and gets the same
+scalar-prefetch + fori_loop treatment.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _plan(shapes, wsy):
+    """Per-level static plan: (H, W, Wpad, window_rows, multi_window)."""
+    plan = []
+    for h, w in shapes:
+        wpad = _round_up(w, 128)
+        if h <= wsy:
+            plan.append((h, w, wpad, h, False))
+        else:
+            plan.append((h, w, wpad, wsy, True))
+    return tuple(plan)
+
+
+def _window_info(iy, plan, P, qb):
+    """XLA-side per-(bh, level, qblock) window anchors and counts.
+
+    iy: (BH, LP, Qp) clipped floor row indices (padding queries carry -2,
+    which only ever SHRINKS the window range because real local samples
+    dominate; a fully padded block still gets n_win >= 1 and computes
+    zeros). Returns (min_iy, n_win) each (BH, L, nQB) int32.
+    """
+    BH, LP, Qp = iy.shape
+    L = LP // P
+    nqb = Qp // qb
+    g = iy.reshape(BH, L, P, nqb, qb)
+    mn = jnp.min(g, axis=(2, 4))  # (BH, L, nQB)
+    mx = jnp.max(g, axis=(2, 4))
+    ws = jnp.asarray([p[3] for p in plan], jnp.int32)[None, :, None]
+    multi = jnp.asarray([p[4] for p in plan], jnp.bool_)[None, :, None]
+    n_win = jnp.maximum((mx + 1 - mn) // ws + 1, 1)
+    n_win = jnp.where(multi, n_win, 1)
+    return mn.astype(jnp.int32), n_win.astype(jnp.int32)
+
+
+def _v4_kernel(
+    min_ref, nwin_ref,  # scalar prefetch: (BH, L, nQB) int32
+    iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref, *refs,
+    plan, qb, dim, n_points,
+):
+    L = len(plan)
+    vrefs = refs[:L]
+    out_ref = refs[L]
+    acc_ref = refs[L + 1]  # (D, qb) f32 scratch
+
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    for lvl, (h_l, w_l, wpad, ws, multi) in enumerate(plan):
+        v_ref = vrefs[lvl]
+        vdtype = v_ref.dtype
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, qb), 0)
+        iota_y = jax.lax.broadcasted_iota(jnp.int32, (ws, qb), 0)
+
+        # hoisted per-point lane vectors + x one-hot mixers (shared
+        # across windows)
+        iys, wy0s, wy1s, cxs = [], [], [], []
+        for p in range(n_points):
+            lp = lvl * n_points + p
+            iy_p = iy_ref[0, lp, :][None, :]  # (1, qb)
+            ix_p = ix_ref[0, lp, :][None, :]
+            cx = (
+                wx0_ref[0, lp, :][None, :] * (iota_w == ix_p)
+                + wx1_ref[0, lp, :][None, :] * (iota_w == ix_p + 1)
+            )
+            cxs.append(cx.astype(vdtype))
+            iys.append(iy_p)
+            wy0s.append(wy0_ref[0, lp, :][None, :])
+            wy1s.append(wy1_ref[0, lp, :][None, :])
+
+        if not multi:
+            # level fits in one static window: absolute rows, no buckets
+            v_yw = v_ref[0, : ws * dim, :]
+            acc_exp = jnp.zeros((ws, dim, qb), jnp.float32)
+            for p in range(n_points):
+                t = jnp.dot(v_yw, cxs[p], preferred_element_type=jnp.float32)
+                m = wy0s[p] * (iota_y == iys[p]) + wy1s[p] * (
+                    iota_y == iys[p] + 1
+                )
+                acc_exp = acc_exp + t.reshape(ws, dim, qb) * m[:, None, :]
+            acc_ref[:] += jnp.sum(acc_exp, axis=0)
+            continue
+
+        min_iy = min_ref[b, lvl, q]
+        n_win = nwin_ref[b, lvl, q]
+
+        def window(k, carry, lvl=lvl, h_l=h_l, ws=ws, v_ref=v_ref,
+                   iys=iys, wy0s=wy0s, wy1s=wy1s, cxs=cxs,
+                   iota_y=iota_y, min_iy=min_iy):
+            s_k = jnp.clip(min_iy + k * ws, 0, h_l - ws)
+            rows = iota_y + s_k
+            start = pl.multiple_of(s_k * dim, dim)
+            v_yw = v_ref[0, pl.ds(start, ws * dim), :]
+            acc_exp = jnp.zeros((ws, dim, qb), jnp.float32)
+            for p in range(n_points):
+                t = jnp.dot(v_yw, cxs[p], preferred_element_type=jnp.float32)
+                # disjoint buckets relative to min_iy dedupe overlap from
+                # clamped windows
+                rel0 = iys[p] - min_iy
+                rel1 = rel0 + 1
+                b0 = (rel0 >= k * ws) & (rel0 < (k + 1) * ws)
+                b1 = (rel1 >= k * ws) & (rel1 < (k + 1) * ws)
+                m = wy0s[p] * ((rows == iys[p]) & b0) + wy1s[p] * (
+                    (rows == iys[p] + 1) & b1
+                )
+                acc_exp = acc_exp + t.reshape(ws, dim, qb) * m[:, None, :]
+            acc_ref[:] += jnp.sum(acc_exp, axis=0)
+            return carry
+
+        jax.lax.fori_loop(0, n_win, window, 0)
+
+    out_ref[0] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "query_block", "wsy")
+)
+def ms_deform_attn_v4(
+    iy: jnp.ndarray,  # (BH, Q, L*P) int32 floor row indices
+    ix: jnp.ndarray,
+    wy0: jnp.ndarray,  # (BH, Q, L*P) f32 row weights (0 when OOB)
+    wy1: jnp.ndarray,
+    wx0: jnp.ndarray,  # (BH, Q, L*P) f32 col weights * attention
+    wx1: jnp.ndarray,
+    value: jnp.ndarray,  # (BH, S, D) level-flattened row-major
+    spatial_shapes: Sequence[tuple[int, int]],
+    query_block: int = 256,
+    wsy: int = 8,
+) -> jnp.ndarray:
+    """Returns (BH, Q, D) float32."""
+    BH, Q, LP = iy.shape
+    S, D = value.shape[1], value.shape[2]
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    L = len(shapes)
+    P = LP // L
+    plan = _plan(shapes, wsy)
+
+    qb = min(query_block, max(_round_up(Q, 8), 8))
+    pad_q = (-Q) % qb
+    Qp = Q + pad_q
+
+    # clip indices into [-2, H] / [-2, W]: semantics-preserving (weights
+    # of clipped corners are already zero) and bounds the window count
+    h_arr = np.zeros((LP,), np.int32)
+    w_arr = np.zeros((LP,), np.int32)
+    for lvl, (h, w) in enumerate(shapes):
+        h_arr[lvl * P : (lvl + 1) * P] = h
+        w_arr[lvl * P : (lvl + 1) * P] = w
+    iy = jnp.clip(iy, -2, jnp.asarray(h_arr)[None, None, :])
+    ix = jnp.clip(ix, -2, jnp.asarray(w_arr)[None, None, :])
+
+    def prep(a, pad_val):
+        if pad_q:
+            a = jnp.pad(
+                a, ((0, 0), (0, pad_q), (0, 0)), constant_values=pad_val
+            )
+        return jnp.swapaxes(a, 1, 2)  # (BH, LP, Qp)
+
+    iy, ix = prep(iy, -2), prep(ix, -2)
+    wy0, wy1 = prep(wy0, 0.0), prep(wy1, 0.0)
+    wx0, wx1 = prep(wx0, 0.0), prep(wx1, 0.0)
+
+    min_iy, n_win = _window_info(iy, plan, P, qb)
+
+    # per-level transposed value views (BH, H*D, Wpad)
+    vals = []
+    off = 0
+    for (h, w, wpad, _, _) in plan:
+        v = value[:, off : off + h * w].reshape(BH, h, w, D)
+        v = jnp.transpose(v, (0, 1, 3, 2)).reshape(BH, h * D, w)
+        if wpad != w:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, wpad - w)))
+        vals.append(v)
+        off += h * w
+
+    scalar_spec = pl.BlockSpec(
+        (1, LP, qb), lambda b, q, *_: (b, 0, q), memory_space=pltpu.VMEM
+    )
+    in_specs = [scalar_spec] * 6
+    for v in vals:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, v.shape[1], v.shape[2]), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    flops = 2 * BH * Qp * sum(
+        P * (ws * D) * (wpad / 128.0) * 2 for (_, _, wpad, ws, _) in plan
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BH, Qp // qb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, D, qb), lambda b, q, *_: (b, 0, q), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((D, qb), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_v4_kernel, plan=plan, qb=qb, dim=D, n_points=P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, D, Qp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=BH * (S * D * 4 + Qp * LP * 24 + Qp * D * 4),
+            transcendentals=0,
+        ),
+    )(min_iy, n_win, iy, ix, wy0, wy1, wx0, wx1, *vals)
+
+    out = jnp.swapaxes(out, 1, 2)  # (BH, Qp, D)
+    return out[:, :Q] if pad_q else out
+
+
+def _v4_bwd_kernel(
+    min_ref, nwin_ref,
+    iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref, *refs,
+    plan, qb, dim, n_points,
+):
+    """Backward for ONE level (the caller splits levels across
+    pallas_calls to bound VMEM): value scatter = transposed one-hot
+    matmuls into the (H*D, Wpad) layout; weight grads = masked sublane
+    reductions. Scalar-prefetched windows, dynamic fori_loop sweep."""
+    (h_l, w_l, wpad, ws, multi) = plan[0]
+    v_ref = refs[0]
+    dout_ref = refs[1]  # (1, D, qb) f32
+    dv_ref = refs[2]
+    gouts = refs[3:7]  # gy0, gy1, gx0, gx1 (1, P, qb)
+    gscr = refs[7:11]  # scratch (P, qb) f32
+
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _():
+        dv_ref[0] = jnp.zeros(dv_ref.shape[1:], jnp.float32)
+
+    for g in gscr:
+        g[:] = jnp.zeros((n_points, qb), jnp.float32)
+
+    dout = dout_ref[0].astype(jnp.float32)  # (D, qb)
+    vdtype = v_ref.dtype
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, qb), 0)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ws, qb), 0)
+    dexp = jnp.broadcast_to(dout[None], (ws, dim, qb))  # (ws, D, qb)
+
+    iys, wy0s, wy1s, cxs, mx0s, mx1s = [], [], [], [], [], []
+    for p in range(n_points):
+        iy_p = iy_ref[0, p, :][None, :]
+        ix_p = ix_ref[0, p, :][None, :]
+        m0 = iota_w == ix_p
+        m1 = iota_w == ix_p + 1
+        cx = (
+            wx0_ref[0, p, :][None, :] * m0
+            + wx1_ref[0, p, :][None, :] * m1
+        )
+        cxs.append(cx.astype(vdtype))
+        mx0s.append(m0)
+        mx1s.append(m1)
+        iys.append(iy_p)
+        wy0s.append(wy0_ref[0, p, :][None, :])
+        wy1s.append(wy1_ref[0, p, :][None, :])
+
+    min_iy = min_ref[b, 0, q]
+    n_win = nwin_ref[b, 0, q]
+
+    def window(k, carry):
+        if multi:
+            s_k = jnp.clip(min_iy + k * ws, 0, h_l - ws)
+            start = pl.multiple_of(s_k * dim, dim)
+            row_slice = pl.ds(start, ws * dim)
+            rows = iota_y + s_k
+        else:
+            row_slice = slice(0, ws * dim)
+            rows = iota_y
+        v_yw = v_ref[0, row_slice, :]  # (ws*D, Wpad)
+        dv_acc = jnp.zeros((ws * dim, wpad), jnp.float32)
+        for p in range(n_points):
+            e0 = rows == iys[p]
+            e1 = rows == iys[p] + 1
+            if multi:
+                rel0 = iys[p] - min_iy
+                b0 = (rel0 >= k * ws) & (rel0 < (k + 1) * ws)
+                b1 = (rel0 + 1 >= k * ws) & (rel0 + 1 < (k + 1) * ws)
+                e0 = e0 & b0
+                e1 = e1 & b1
+            m = wy0s[p] * e0 + wy1s[p] * e1  # (ws, qb)
+            dt = (dexp * m[:, None, :]).reshape(ws * dim, qb)
+            # value grad: dt @ Cx^T
+            dv_acc = dv_acc + jax.lax.dot_general(
+                dt.astype(vdtype),
+                cxs[p],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # weight grads
+            t = jnp.dot(v_yw, cxs[p], preferred_element_type=jnp.float32)
+            dm = jnp.sum(t.reshape(ws, dim, qb) * dexp, axis=1)  # (ws, qb)
+            gscr[0][p, :] += jnp.sum(dm * e0, axis=0)
+            gscr[1][p, :] += jnp.sum(dm * e1, axis=0)
+            dcx = jax.lax.dot_general(
+                v_yw,
+                dt.astype(vdtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Wpad, qb)
+            gscr[2][p, :] += jnp.sum(dcx * mx0s[p], axis=0)
+            gscr[3][p, :] += jnp.sum(dcx * mx1s[p], axis=0)
+        dv_ref[0, row_slice, :] += dv_acc
+        return carry
+
+    if multi:
+        jax.lax.fori_loop(0, n_win, window, 0)
+    else:
+        window(0, 0)
+
+    for g_out, g_s in zip(gouts, gscr):
+        g_out[0] = g_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "query_block", "wsy")
+)
+def ms_deform_attn_v4_bwd(
+    iy, ix, wy0, wy1, wx0, wx1, value, dout,
+    spatial_shapes,
+    query_block: int = 256,
+    wsy: int = 8,
+):
+    """Backward pass of ms_deform_attn_v4: returns
+    (dwy0, dwy1, dwx0, dwx1, dvalue) in the forward input layouts."""
+    BH, Q, LP = iy.shape
+    S, D = value.shape[1], value.shape[2]
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    L = len(shapes)
+    P = LP // L
+    plan = _plan(shapes, wsy)
+
+    qb = min(query_block, max(_round_up(Q, 8), 8))
+    pad_q = (-Q) % qb
+    Qp = Q + pad_q
+
+    h_arr = np.zeros((LP,), np.int32)
+    w_arr = np.zeros((LP,), np.int32)
+    for lvl, (h, w) in enumerate(shapes):
+        h_arr[lvl * P : (lvl + 1) * P] = h
+        w_arr[lvl * P : (lvl + 1) * P] = w
+    iy = jnp.clip(iy, -2, jnp.asarray(h_arr)[None, None, :])
+    ix = jnp.clip(ix, -2, jnp.asarray(w_arr)[None, None, :])
+
+    def prep(a, pad_val):
+        if pad_q:
+            a = jnp.pad(
+                a, ((0, 0), (0, pad_q), (0, 0)), constant_values=pad_val
+            )
+        return jnp.swapaxes(a, 1, 2)
+
+    iy, ix = prep(iy, -2), prep(ix, -2)
+    wy0, wy1 = prep(wy0, 0.0), prep(wy1, 0.0)
+    wx0, wx1 = prep(wx0, 0.0), prep(wx1, 0.0)
+    if pad_q:
+        dout = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, pad_q), (0, 0)))
+    else:
+        dout = dout.astype(jnp.float32)
+    dout = jnp.swapaxes(dout, 1, 2)
+
+    min_all, nwin_all = _window_info(iy, plan, P, qb)
+
+    # ONE pallas_call per level: a single call holding every level's f32
+    # dv buffer in VMEM overflows the ~16 MB budget at 832x1344
+    dvalue_pieces = []
+    g_pieces = []
+    off = 0
+    for lvl, (h, w, wpad, ws, multi) in enumerate(plan):
+        v = value[:, off : off + h * w].reshape(BH, h, w, D)
+        v = jnp.transpose(v, (0, 1, 3, 2)).reshape(BH, h * D, w)
+        if wpad != w:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, wpad - w)))
+        off += h * w
+
+        sl = slice(lvl * P, (lvl + 1) * P)
+        scalar_spec = pl.BlockSpec(
+            (1, P, qb), lambda b, q, *_: (b, 0, q), memory_space=pltpu.VMEM
+        )
+        in_specs = [scalar_spec] * 6 + [
+            pl.BlockSpec(
+                (1, v.shape[1], v.shape[2]), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, D, qb), lambda b, q, *_: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((BH, v.shape[1], v.shape[2]), jnp.float32)
+        ] + [jax.ShapeDtypeStruct((BH, P, Qp), jnp.float32)] * 4
+        out_specs = [
+            pl.BlockSpec(
+                (1, v.shape[1], v.shape[2]), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] + [
+            pl.BlockSpec((1, P, qb), lambda b, q, *_: (b, 0, q),
+                         memory_space=pltpu.VMEM)
+        ] * 4
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BH, Qp // qb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((P, qb), jnp.float32)] * 4,
+        )
+        outs = pl.pallas_call(
+            functools.partial(
+                _v4_bwd_kernel, plan=(plan[lvl],), qb=qb, dim=D, n_points=P
+            ),
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=int(6 * BH * Qp * P * (ws * D) * (wpad / 128.0) * 2),
+                bytes_accessed=BH * (
+                    2 * h * w * D * 8 + Qp * P * 24 + Qp * D * 4
+                ),
+                transcendentals=0,
+            ),
+        )(
+            min_all[:, lvl : lvl + 1], nwin_all[:, lvl : lvl + 1],
+            iy[:, sl], ix[:, sl], wy0[:, sl], wy1[:, sl],
+            wx0[:, sl], wx1[:, sl], v, dout,
+        )
+        dv = outs[0][:, :, :w].reshape(BH, h, D, w)
+        dv = jnp.transpose(dv, (0, 1, 3, 2)).reshape(BH, h * w, D)
+        dvalue_pieces.append(dv)
+        g_pieces.append(outs[1:])
+
+    dvalue = jnp.concatenate(dvalue_pieces, axis=1).astype(value.dtype)
+
+    def unpack(i):
+        g = jnp.concatenate([gp[i] for gp in g_pieces], axis=1)
+        g = jnp.swapaxes(g, 1, 2)  # (BH, Qp, LP)
+        return g[:, :Q] if pad_q else g
+
+    return unpack(0), unpack(1), unpack(2), unpack(3), dvalue

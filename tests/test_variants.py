@@ -171,3 +171,37 @@ def test_qpic_cdn_qahoi_closed_vocab():
     check_closed(out, cfg, nq)
     out = run_closed_vocab(QAHOIModel(cfg), cfg)
     check_closed(out, cfg, nq)
+
+
+def test_ocn_sep_variants():
+    """OCN (reference models/hoi.py:1048-1240), SepDETRHOI (:1295-1349)
+    and SepDDETRHOIv3 (deformable_transformer.py:29-223): forward with
+    finite outputs; the Sep variants emit paired (nq//2) predictions."""
+    from rlipv2_tpu.models.closed_vocab import (
+        OCNModel,
+        SepDDETRHOIv3Model,
+        SepDETRHOIModel,
+    )
+
+    cfg = tiny_config()
+    nq = cfg.num_queries
+    out = run_closed_vocab(OCNModel(cfg), cfg)
+    check_closed(out, cfg, nq)
+    for cls in (SepDETRHOIModel, SepDDETRHOIv3Model):
+        out = run_closed_vocab(cls(cfg), cfg)
+        np2 = nq // 2
+        assert out["pred_obj_logits"].shape == (1, np2, cfg.max_obj_texts)
+        assert out["pred_verb_logits"].shape == (1, np2, cfg.max_verb_texts)
+        assert out["pred_sub_boxes"].shape == (1, np2, 4)
+        for v in jax.tree_util.tree_leaves(out):
+            assert np.isfinite(np.asarray(v)).all()
+        assert len(out["aux_outputs"]) == cfg.transformer.dec_layers - 1
+
+
+def test_factory_new_closed_vocab():
+    for v in ("ocn", "sep_detr_hoi", "sep_ddetr_hoi_v3"):
+        cfg = dataclasses.replace(tiny_config(), variant=v)
+        m = build_model(cfg)
+        assert type(m).__name__ in (
+            "OCNModel", "SepDETRHOIModel", "SepDDETRHOIv3Model"
+        )
