@@ -750,3 +750,155 @@ class OCNModel(QPICModel):
                 for l in range(t.dec_layers - 1)
             ]
         return out
+
+
+class SeqDETRHOIModel(QPICModel):
+    """SeqDETRHOI (reference models/hoi.py:1242-1294 + SeqTransformer,
+    models/transformer.py:331-412): three CHAINED decoders — human, then
+    object (query pos = final human states), then verb (query pos = final
+    object states); sub boxes from the human stack, obj class/box from the
+    object stack, verbs from the verb stack."""
+
+    def setup(self):
+        super().setup()
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        self.obj_dec_layers = [
+            DecoderLayer(c, dt, name=f"obj_dec_{i}")
+            for i in range(t.dec_layers)
+        ]
+        self.verb_dec_layers = [
+            DecoderLayer(c, dt, name=f"verb_dec_{i}")
+            for i in range(t.dec_layers)
+        ]
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
+
+        def run(layers, qpos):
+            tgt = jnp.zeros_like(qpos)
+            hs = []
+            for layer in layers:
+                tgt = layer(tgt, qpos, memory, pos, valid, deterministic)
+                hs.append(tgt)
+            return jnp.stack(hs)
+
+        qpos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None],
+            (B, c.num_queries, t.hidden_dim),
+        )
+        hs_h = run(self.dec_layers, qpos)
+        hs_o = run(self.obj_dec_layers, hs_h[-1])
+        hs_v = run(self.verb_dec_layers, hs_o[-1])
+
+        obj_logits = self.obj_class_embed(hs_o).astype(jnp.float32)
+        verb_logits = self.verb_class_embed(hs_v).astype(jnp.float32)
+        sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs_h)).astype(jnp.float32)
+        obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs_o)).astype(jnp.float32)
+        out = {
+            "pred_obj_logits": obj_logits[-1],
+            "pred_verb_logits": verb_logits[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits[l],
+                    "pred_verb_logits": verb_logits[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out
+
+
+class StochasticDETRHOIModel(QPICModel):
+    """VanillaStochasticDETRHOI (reference models/hoi.py:181-300): QPIC
+    plus a verb latent head — (mu, log_var) linear heads, `sampling_num`
+    reparameterized draws through the verb classifier averaged and added
+    residually to the deterministic verb logits. The KL term against
+    N(0, 1) is exposed as `verb_kl_divergence` for the aux-KL criterion
+    (reference VanillaStochasticDETRHOIauxkl, :57-179)."""
+
+    sampling_num: int = 5
+
+    def setup(self):
+        super().setup()
+        t = self.cfg.transformer
+        dt = self.compute_dtype
+        self.latent_mu = nn.Dense(t.hidden_dim, dtype=dt, name="latent_mu")
+        self.latent_log_var = nn.Dense(
+            t.hidden_dim, dtype=dt, name="latent_log_var"
+        )
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True,
+                 rng_key=None):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
+        qpos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None],
+            (B, c.num_queries, t.hidden_dim),
+        )
+        tgt = jnp.zeros_like(qpos)
+        hs = []
+        for layer in self.dec_layers:
+            tgt = layer(tgt, qpos, memory, pos, valid, deterministic)
+            hs.append(tgt)
+        hs = jnp.stack(hs)
+
+        obj_logits = self.obj_class_embed(hs).astype(jnp.float32)
+        sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs)).astype(jnp.float32)
+        obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs)).astype(jnp.float32)
+        res_verb = self.verb_class_embed(hs).astype(jnp.float32)
+
+        mu = self.latent_mu(hs)
+        log_var = self.latent_log_var(hs)
+        if rng_key is None:
+            rng_key = self.make_rng("stochastic") if self.has_rng(
+                "stochastic"
+            ) else jax.random.PRNGKey(0)
+        eps = jax.random.normal(
+            rng_key, (self.sampling_num,) + mu.shape, mu.dtype
+        )
+        latent = mu[None] + jnp.exp(0.5 * log_var)[None] * eps
+        verb_logits = jnp.mean(
+            self.verb_class_embed(latent).astype(jnp.float32), axis=0
+        ) + res_verb
+
+        # KL(N(mu, sigma) || N(0, 1)) per layer, mean over (B, nq, C)
+        kl = -0.5 * jnp.mean(
+            1 + log_var.astype(jnp.float32)
+            - mu.astype(jnp.float32) ** 2
+            - jnp.exp(log_var.astype(jnp.float32)),
+            axis=(1, 2, 3),
+        )  # (layers,)
+
+        out = {
+            "pred_obj_logits": obj_logits[-1],
+            "pred_verb_logits": verb_logits[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+            "verb_kl_divergence": kl[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits[l],
+                    "pred_verb_logits": verb_logits[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
+                    "verb_kl_divergence": kl[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out

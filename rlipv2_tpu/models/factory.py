@@ -56,4 +56,22 @@ def build_model(cfg: ModelConfig):
             "sep_detr_hoi": SepDETRHOIModel,
             "sep_ddetr_hoi_v3": SepDDETRHOIv3Model,
         }[v](cfg)
+    if v in ("seq_detr_hoi", "stochastic_detr_hoi"):
+        from rlipv2_tpu.models.closed_vocab import (
+            SeqDETRHOIModel,
+            StochasticDETRHOIModel,
+        )
+
+        return {
+            "seq_detr_hoi": SeqDETRHOIModel,
+            "stochastic_detr_hoi": StochasticDETRHOIModel,
+        }[v](cfg)
+    if v == "parse_dab_detr":
+        from rlipv2_tpu.models.dab_detr import ParSeDABDETR
+
+        return ParSeDABDETR(cfg)
+    if v == "rlip_mdetr":
+        from rlipv2_tpu.models.mdetr import RLIPMDETR
+
+        return RLIPMDETR(cfg)
     raise ValueError(f"unknown variant: {v}")

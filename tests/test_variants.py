@@ -205,3 +205,68 @@ def test_factory_new_closed_vocab():
         assert type(m).__name__ in (
             "OCNModel", "SepDETRHOIModel", "SepDDETRHOIv3Model"
         )
+
+
+def test_seq_stochastic_variants():
+    """SeqDETRHOI (reference models/hoi.py:1242) chained decoders and
+    VanillaStochasticDETRHOI (:181-300) latent verb head with KL output."""
+    from rlipv2_tpu.models.closed_vocab import (
+        SeqDETRHOIModel,
+        StochasticDETRHOIModel,
+    )
+
+    cfg = tiny_config()
+    nq = cfg.num_queries
+    out = run_closed_vocab(SeqDETRHOIModel(cfg), cfg)
+    check_closed(out, cfg, nq)
+
+    model = StochasticDETRHOIModel(cfg)
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    valid = jnp.ones((1, 64, 64), bool)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "stochastic": jax.random.PRNGKey(1)},
+        pixels, valid,
+    )
+    out = model.apply(
+        params, pixels, valid, rngs={"stochastic": jax.random.PRNGKey(2)}
+    )
+    check_closed(out, cfg, nq)
+    assert out["verb_kl_divergence"].shape == ()
+    assert float(out["verb_kl_divergence"]) >= 0
+
+
+def test_parse_dab_detr():
+    """ParSeDABDETR (reference models/hoi.py:1421 + DAB/transformer.py):
+    4-d anchors refined per layer, conditional concat cross-attention,
+    vanilla verb decoder; paired outputs, boxes in (0,1)."""
+    from rlipv2_tpu.models.dab_detr import ParSeDABDETR
+
+    cfg = tiny_config()
+    model = ParSeDABDETR(cfg)
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    valid = jnp.ones((1, 64, 64), bool)
+    params = model.init(jax.random.PRNGKey(0), pixels, valid)
+    out = model.apply(params, pixels, valid)
+    np2 = cfg.num_queries // 2
+    assert out["pred_obj_logits"].shape == (1, np2, cfg.max_obj_texts)
+    assert out["pred_verb_logits"].shape == (1, np2, cfg.max_verb_texts)
+    for key in ("pred_sub_boxes", "pred_obj_boxes"):
+        b = np.asarray(out[key])
+        assert b.shape == (1, np2, 4)
+        assert (b >= 0).all() and (b <= 1).all()
+    for v in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+    assert len(out["aux_outputs"]) == cfg.transformer.dec_layers - 1
+
+
+def test_rlip_mdetr_joint_encoder():
+    """RLIPMDETR (reference models/mdetr_transformer.py:25-186): joint
+    [image; text] encoder with zero text pos, ParSe decoding over the
+    joint memory, einsum text heads from post-encoder text states."""
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_mdetr")
+    model = build_model(cfg)
+    assert type(model).__name__ == "RLIPMDETR"
+    out = run_forward(model, cfg)
+    check(out, cfg)
