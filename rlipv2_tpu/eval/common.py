@@ -26,13 +26,30 @@ def compute_iou(bbox1: dict, bbox2: dict) -> float:
 
 
 def compute_iou_mat(bbox_list1, bbox_list2, overlap_iou: float = 0.5):
-    """-> ({pred_id: [gt_ids]}, {pred_id: [overlaps]}) at IoU >= threshold."""
+    """-> ({pred_id: [gt_ids]}, {pred_id: [overlaps]}) at IoU >= threshold.
+
+    The matrix is produced by the native C++ core when available
+    (rlipv2_tpu/native/eval_core.cpp pairwise_iou_cat) with a vectorized
+    numpy fallback — both bit-match the scalar `compute_iou` protocol."""
     if len(bbox_list1) == 0 or len(bbox_list2) == 0:
         return {}, {}
-    iou_mat = np.zeros((len(bbox_list1), len(bbox_list2)))
-    for i, b1 in enumerate(bbox_list1):
-        for j, b2 in enumerate(bbox_list2):
-            iou_mat[i, j] = compute_iou(b1, b2)
+    from rlipv2_tpu.native import pairwise_iou_cat
+
+    b1 = np.asarray([b["bbox"] for b in bbox_list1], np.float64)
+    b2 = np.asarray([b["bbox"] for b in bbox_list2], np.float64)
+    # category ids may be composite (phrase categories are (sub, obj, rel)
+    # tuples, oi_sgg_eval.py) — densify via a shared lookup so equality
+    # semantics are preserved
+    lut: dict = {}
+    c1 = np.asarray(
+        [lut.setdefault(b["category_id"], len(lut)) for b in bbox_list1],
+        np.int32,
+    )
+    c2 = np.asarray(
+        [lut.setdefault(b["category_id"], len(lut)) for b in bbox_list2],
+        np.int32,
+    )
+    iou_mat = pairwise_iou_cat(b1, c1, b2, c2).astype(np.float64)
     iou_ov = iou_mat.copy()
     iou_mat = (iou_mat >= overlap_iou).astype(np.float64)
 

@@ -295,6 +295,15 @@ class HICOEvaluator:
         return preds_filtered
 
     def pairwise_nms(self, subs, objs, scores):
+        # native C++ path (rlipv2_tpu/native/eval_core.cpp), identical
+        # greedy protocol in double precision; numpy fallback below
+        from rlipv2_tpu.native import pairwise_nms as native_nms
+
+        keep = native_nms(
+            subs, objs, scores, self.nms_alpha, self.nms_beta, self.thres_nms
+        )
+        if keep is not None:
+            return keep
         sx1, sy1, sx2, sy2 = subs[:, 0], subs[:, 1], subs[:, 2], subs[:, 3]
         ox1, oy1, ox2, oy2 = objs[:, 0], objs[:, 1], objs[:, 2], objs[:, 3]
         sub_areas = (sx2 - sx1 + 1) * (sy2 - sy1 + 1)
