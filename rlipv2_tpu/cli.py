@@ -318,6 +318,7 @@ def main(argv=None):
             negative_text_sampling=args.negative_text_sampling,
             obj_vocab=train_ds.object_text, verb_vocab=train_ds.verb_text,
             print_freq=args.print_freq, max_steps=args.max_steps,
+            num_workers=args.num_workers,
         )
         mgr.save(epoch, state, config=ctx["tcfg"])
         stats = evaluate_hoi(
@@ -377,7 +378,7 @@ def run_pretrain(args, ctx):
             verb_freqs=list(ds.relationship_freq.values()),
             sampling_strategy=args.sampling_strategy,
             print_freq=args.print_freq, max_steps=args.max_steps,
-            batch_lists=batches,
+            batch_lists=batches, num_workers=args.num_workers,
         )
         mgr.save(epoch, state, config=ctx["tcfg"])
         append_log_line(

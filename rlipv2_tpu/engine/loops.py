@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rlipv2_tpu.config import ModelConfig
+from rlipv2_tpu.data.loader import batch_rng, prefetch_map
 from rlipv2_tpu.data.pipeline import build_train_batch
 from rlipv2_tpu.engine.train import TrainBatch
 from rlipv2_tpu.eval.hico_eval import HICOEvaluator
@@ -91,10 +92,17 @@ def train_one_epoch(
     max_steps: Optional[int] = None,
     max_triplets: Optional[int] = None,
     batch_lists: Optional[Sequence[Sequence[int]]] = None,
+    num_workers: int = 0,
 ):
     """indices + batch_size give a plain epoch; batch_lists (e.g. from
     data/vg.batch_iterative_indices) gives pre-built whole batches for
-    multi-dataset interleaving."""
+    multi-dataset interleaving.
+
+    num_workers > 0 builds batches in a threaded prefetch window
+    (data/loader.py) and fetches step metrics one step LATE, so host
+    batch building and the device step overlap (the reference gets the
+    same overlap from DataLoader workers + CUDA async dispatch); each
+    batch then draws from its own deterministic rng stream."""
     import random as _random
 
     rng = rng or _random.Random(epoch)
@@ -116,9 +124,12 @@ def train_one_epoch(
             else:
                 yield indices[i * batch_size : (i + 1) * batch_size]
 
-    for batch_ids in logger.log_every(
-        _SizedIter(batches(), n_batches), print_freq, f"Epoch [{epoch}]"
-    ):
+    def make_batch(job):
+        bidx, batch_ids = job
+        b_rng = (
+            rng if num_workers <= 0
+            else batch_rng(0, epoch, bidx)
+        )
         samples = [dataset[i] for i in batch_ids]
         arrays, obj_slots, verb_slots = build_train_batch(
             samples,
@@ -131,7 +142,7 @@ def train_one_epoch(
             obj_freqs=obj_freqs,
             verb_freqs=verb_freqs,
             sampling_strategy=sampling_strategy,
-            rng=rng,
+            rng=b_rng,
         )
         slot_texts = list(obj_slots) + list(verb_slots)
         feats = text_encoder(
@@ -142,8 +153,9 @@ def train_one_epoch(
         text_valid = np.concatenate(
             [arrays["obj_text_valid"], arrays["verb_text_valid"]], axis=1
         )
-        batch = _batch_from_arrays(arrays, text_emb, text_valid)
-        state, metrics = step_fn(state, batch)
+        return _batch_from_arrays(arrays, text_emb, text_valid)
+
+    def flush(metrics):
         loss = float(metrics["loss"])
         if not math.isfinite(loss):
             raise FloatingPointError(f"non-finite loss {loss} at epoch {epoch}")
@@ -153,6 +165,20 @@ def train_one_epoch(
             obj_ce=float(metrics["loss_obj_ce"]),
             verb_ce=float(metrics["loss_verb_ce"]),
         )
+
+    batch_iter = prefetch_map(
+        make_batch, enumerate(batches()), num_workers
+    )
+    pending_metrics = None
+    for batch in logger.log_every(
+        _SizedIter(batch_iter, n_batches), print_freq, f"Epoch [{epoch}]"
+    ):
+        state, metrics = step_fn(state, batch)
+        if pending_metrics is not None:
+            flush(pending_metrics)  # one step late: keeps dispatch async
+        pending_metrics = metrics
+    if pending_metrics is not None:
+        flush(pending_metrics)
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 

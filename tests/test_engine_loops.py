@@ -217,3 +217,19 @@ def test_evaluate_vcoco_and_sgg_loops(tiny_setup, synth_hico):  # noqa: F811
     )
     assert "score_wtd (wmAP)" in r2
     assert "mAP@50 (RelD)" in r2 and "mAP@100 (PhrD)" in r2
+
+
+def test_prefetch_map_order_and_parallelism():
+    """prefetch_map yields in order for any worker count; worker batches
+    draw deterministic per-batch rng streams."""
+    from rlipv2_tpu.data.loader import batch_rng, prefetch_map
+
+    items = list(range(20))
+    got0 = list(prefetch_map(lambda x: x * x, items, num_workers=0))
+    got4 = list(prefetch_map(lambda x: x * x, items, num_workers=4))
+    assert got0 == got4 == [x * x for x in items]
+
+    a = batch_rng(0, 3, 7).random()
+    b = batch_rng(0, 3, 7).random()
+    c = batch_rng(0, 3, 8).random()
+    assert a == b != c
