@@ -99,9 +99,7 @@ class WindowAttention(nn.Module):
         Bn, N, C = x.shape
         h = self.num_heads
         hd = C // h
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(Bn, N, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv_flat = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
 
         table = self.param(
             "relative_position_bias_table",
@@ -113,6 +111,26 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(N, N, h)
         bias = jnp.transpose(bias, (2, 0, 1)).astype(self.dtype)  # (h, N, N)
 
+        if jax.default_backend() == "tpu" and hd % 8 == 0:
+            # fused Pallas path (ops/window_attention.py): consumes the
+            # packed (nWB, N, 3C) projection directly (no relayouts) and
+            # runs QK -> bias/mask -> softmax -> AV in VMEM
+            from rlipv2_tpu.ops.window_attention import (
+                fused_window_attention,
+            )
+
+            group = 8 if h <= 12 else 2
+            out = fused_window_attention(
+                qkv_flat,
+                bias.astype(jnp.float32),
+                None if mask is None else mask.astype(jnp.float32),
+                h,
+                group,
+            ).astype(self.dtype)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        qkv = qkv_flat.reshape(Bn, N, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd**-0.5)
         attn = attn + bias[None]
         if mask is not None:
