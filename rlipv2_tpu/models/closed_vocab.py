@@ -606,8 +606,12 @@ class _BilinearTransformerLayer(nn.Module):
             emb = nn.Dense(hh, dtype=self.dtype, name=f"W3_{i}")(x)
             heads.append(jnp.einsum("...ce,...ef->...cf", att, emb))
         cat = jnp.concatenate(heads, axis=-1)
-        cat = nn.Dense(2 * d, dtype=self.dtype, name="W2")(cat)
-        cat = jax.nn.relu(nn.LayerNorm(dtype=self.dtype, name="ln")(cat))
+        # bilinear mode: W2/W1 are d -> d (reference models/hoi.py:483-486;
+        # the 2d bottleneck belongs to the embedded_dot_pro mode only)
+        cat = nn.Dense(d, dtype=self.dtype, name="W2")(cat)
+        cat = jax.nn.relu(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(cat)
+        )
         return x + nn.Dense(d, dtype=self.dtype, name="W1")(cat)
 
 
@@ -646,7 +650,9 @@ class _MHCrossAttLayer(nn.Module):
             cat = jnp.concatenate(outs, axis=-1)
             cat = nn.Dense(d, dtype=self.dtype, name=f"{tag}_W2")(cat)
             cat = jax.nn.relu(
-                nn.LayerNorm(dtype=self.dtype, name=f"{tag}_ln")(cat)
+                nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"{tag}_ln"
+                )(cat)
             )
             return x_self + nn.Dense(d, dtype=self.dtype, name=f"{tag}_W1")(cat)
 
