@@ -450,15 +450,12 @@ class SepDDETRHOIv3Model(_ClosedVocabBase):
         )
         self.verb_tgt_generator = MultiBranchFusion(t.hidden_dim, 16, dtype=dt)
 
-    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+    def _deformable_encode(self, pixels, pixel_valid, deterministic):
         from rlipv2_tpu.models.deformable import compute_valid_ratios
 
-        c = self.cfg
-        t = c.transformer
+        t = self.cfg.transformer
         dt = self.compute_dtype
         B = pixels.shape[0]
-        nq = c.num_queries
-        np_ = nq // 2
         feats = self.backbone(pixels.astype(dt))
         srcs, masks, pos_embeds = [], [], []
         for i in range(t.num_feature_levels):
@@ -494,6 +491,18 @@ class SepDDETRHOIv3Model(_ClosedVocabBase):
         memory = self.encoder(
             src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
             deterministic,
+        )
+        return memory, spatial_shapes, valid_ratios, mask_flat
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        nq = c.num_queries
+        np_ = nq // 2
+        memory, spatial_shapes, valid_ratios, mask_flat = (
+            self._deformable_encode(pixels, pixel_valid, deterministic)
         )
 
         qe = self.query_embed.astype(dt)
@@ -904,6 +913,105 @@ class StochasticDETRHOIModel(QPICModel):
                     "pred_sub_boxes": sub_boxes[l],
                     "pred_obj_boxes": obj_boxes[l],
                     "verb_kl_divergence": kl[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out
+
+
+class ParSeDABDDETRModel(SepDDETRHOIv3Model):
+    """ParSeDABDDETR (reference models/hoi.py:1592-1870): DAB-deformable
+    closed-vocab HOI — learned content targets + verb targets + 4-d
+    anchor refpoints (sub || obj), in-decoder iterative box refinement
+    (use_dab=True), verb decoder over MBF-fused pair states at the final
+    refined anchors, per-layer Linear heads; boxes come from the
+    decoder's refined references."""
+
+    def setup(self):
+        from rlipv2_tpu.models.dab_decoder import DABHOIDecoder
+        from rlipv2_tpu.models.layers import MultiBranchFusion
+
+        c = self.cfg
+        t = c.transformer
+        # shares backbone/projections/encoder with the non-DAB variant
+        super().setup()
+        dt = self.compute_dtype
+        self.ho_decoder_dab = DABHOIDecoder(
+            t, parse=True, use_dab=True, do_self_attn=True,
+            refine_boxes=True, dtype=dt,
+        )
+        self.verb_decoder_dab = DABHOIDecoder(
+            t, parse=False, use_dab=True, do_self_attn=True,
+            refine_boxes=False, dtype=dt,
+        )
+        self.tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0),
+            (c.num_queries, t.hidden_dim), jnp.float32,
+        )
+        self.verb_tgt_embed = self.param(
+            "verb_tgt_embed", nn.initializers.normal(1.0),
+            (c.num_queries, t.hidden_dim), jnp.float32,
+        )
+        self.refpoint_embed = self.param(
+            "refpoint_embed", nn.initializers.uniform(1.0),
+            (c.num_queries, 4), jnp.float32,
+        )
+        self.verb_mbf = MultiBranchFusion(t.hidden_dim, 16, dtype=dt)
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        nq = c.num_queries
+        np_ = nq // 2
+        memory, spatial_shapes, valid_ratios, mask_flat = (
+            self._deformable_encode(pixels, pixel_valid, deterministic)
+        )
+
+        refs = jax.nn.sigmoid(self.refpoint_embed.astype(dt))
+        sub_ref = jnp.broadcast_to(refs[None, :np_], (B, np_, 4))
+        obj_ref = jnp.broadcast_to(refs[None, np_:], (B, np_, 4))
+        tgt = jnp.broadcast_to(
+            self.tgt_embed.astype(dt)[None], (B, nq, t.hidden_dim)
+        )
+
+        ho = self.ho_decoder_dab(
+            tgt, sub_ref, obj_ref, memory, spatial_shapes, valid_ratios,
+            mask_flat, deterministic,
+        )
+        hs_ho = ho["hs"]
+        hs_h, hs_o = hs_ho[:, :, :np_], hs_ho[:, :, np_:]
+
+        verb_tgt = self.verb_tgt_embed.astype(dt)
+        vt = (
+            self.verb_mbf(hs_ho[-1][:, :np_], hs_ho[-1][:, np_:])
+            + verb_tgt[None, :np_]
+            + verb_tgt[None, np_:]
+        )
+        verb = self.verb_decoder_dab(
+            vt, ho["sub_refs"][-1], ho["obj_refs"][-1], memory,
+            spatial_shapes, valid_ratios, mask_flat, deterministic,
+        )
+        hs_verb = verb["hs"]
+
+        obj_logits = self.obj_class_embed(hs_o).astype(jnp.float32)
+        verb_logits = self.verb_class_embed(hs_verb).astype(jnp.float32)
+        sub_boxes = ho["sub_boxes"].astype(jnp.float32)
+        obj_boxes = ho["obj_boxes"].astype(jnp.float32)
+        out = {
+            "pred_obj_logits": obj_logits[-1],
+            "pred_verb_logits": verb_logits[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits[l],
+                    "pred_verb_logits": verb_logits[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
                 }
                 for l in range(t.dec_layers - 1)
             ]

@@ -66,6 +66,10 @@ def build_model(cfg: ModelConfig):
             "seq_detr_hoi": SeqDETRHOIModel,
             "stochastic_detr_hoi": StochasticDETRHOIModel,
         }[v](cfg)
+    if v == "parse_dab_ddetr":
+        from rlipv2_tpu.models.closed_vocab import ParSeDABDDETRModel
+
+        return ParSeDABDDETRModel(cfg)
     if v == "parse_dab_detr":
         from rlipv2_tpu.models.dab_detr import ParSeDABDETR
 

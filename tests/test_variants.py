@@ -270,3 +270,22 @@ def test_rlip_mdetr_joint_encoder():
     assert type(model).__name__ == "RLIPMDETR"
     out = run_forward(model, cfg)
     check(out, cfg)
+
+
+def test_parse_dab_ddetr():
+    """ParSeDABDDETR (reference models/hoi.py:1592-1870): DAB-deformable
+    closed-vocab with in-decoder box refinement and the MBF verb path."""
+    cfg = dataclasses.replace(tiny_config(), variant="parse_dab_ddetr")
+    model = build_model(cfg)
+    assert type(model).__name__ == "ParSeDABDDETRModel"
+    out = run_closed_vocab(model, cfg)
+    np2 = cfg.num_queries // 2
+    assert out["pred_obj_logits"].shape == (1, np2, cfg.max_obj_texts)
+    assert out["pred_verb_logits"].shape == (1, np2, cfg.max_verb_texts)
+    for key in ("pred_sub_boxes", "pred_obj_boxes"):
+        b = np.asarray(out[key])
+        assert b.shape == (1, np2, 4)
+        assert (b >= 0).all() and (b <= 1).all()
+    for v in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+    assert len(out["aux_outputs"]) == cfg.transformer.dec_layers - 1
