@@ -106,6 +106,30 @@ def main():
     dt = marginal_time(fwd, params, pixels, valid, text_emb, text_valid)
     imgs_per_sec = BATCH / dt
 
+    # --- opt-in int8 MSDA inference mode (quantized kernel, <~1% rel.
+    # error; never the default) ---
+    int8_ips = None
+    try:
+        import dataclasses as _dc
+
+        i8_cfg = _dc.replace(
+            cfg, transformer=_dc.replace(cfg.transformer, msda_impl="pallas_int8")
+        )
+        i8_model = RLIPParSeDA(i8_cfg)
+        fwd8 = jax.jit(
+            lambda p, px, v, te, tv: jnp.sum(
+                i8_model.apply(p, px, v, te, tv, cfg.max_obj_texts)[
+                    "pred_verb_logits"
+                ].astype(jnp.float32)
+            )
+        )
+        dt8 = marginal_time(fwd8, params, pixels, valid, text_emb, text_valid)
+        int8_ips = round(BATCH / dt8, 2)
+    except Exception as e:
+        import sys
+
+        print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # --- train-step line: forward + Hungarian matching + losses + grads ---
     train_ms = None
     try:
@@ -230,6 +254,8 @@ def main():
         record["mfu_pct"] = round(mfu, 1)
     if swin_l_ips is not None:
         record["swin_l_imgs_per_sec"] = round(swin_l_ips, 2)
+    if int8_ips is not None:
+        record["int8_msda_imgs_per_sec"] = int8_ips
     print(json.dumps(record))
 
 

@@ -77,6 +77,7 @@ class DeformableDecoderLayer(nn.Module):
             n_heads=c.nheads,
             n_points=c.dec_n_points,
             dtype=self.dtype,
+            impl=c.msda_impl,
             name="cross_attn",
         )(with_pos(tgt), reference_points, src, spatial_shapes, src_valid_mask)
         tgt = tgt + nn.Dropout(c.dropout)(ca, deterministic=deterministic)

@@ -92,6 +92,7 @@ class DeformableEncoderLayer(nn.Module):
             n_heads=c.nheads,
             n_points=c.enc_n_points,
             dtype=self.dtype,
+            impl=c.msda_impl,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, valid_mask)
         # tag for the selective remat policy (save_only_these_names in

@@ -116,6 +116,10 @@ class MSDeformAttention(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    # auto | pallas | pallas_int8 | pallas_v3 | pallas_dense | xla;
+    # pallas_int8 is the opt-in quantized inference fast path (<~1%
+    # relative error, forward-only)
+    impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -168,5 +172,7 @@ class MSDeformAttention(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
-        out = ms_deform_attn(value, tuple(spatial_shapes), locations, attn)
+        out = ms_deform_attn(
+            value, tuple(spatial_shapes), locations, attn, impl=self.impl
+        )
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)

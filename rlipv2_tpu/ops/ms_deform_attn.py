@@ -163,6 +163,23 @@ def _msda_pallas(spatial_shapes, value, loc, attn):
     return out.astype(value.dtype)
 
 
+def _msda_pallas_int8(spatial_shapes, value, loc, attn):
+    """int8 fast inference path (forward only, no VJP): per-(bh, level)
+    max-abs value quantization + x127 mixer quantization, <~1% relative
+    output error. Opt-in via impl='pallas_int8'; never the default."""
+    from rlipv2_tpu.ops.ms_deform_attn_v4 import ms_deform_attn_v4_int8
+
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, D)
+    iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
+    out = ms_deform_attn_v4_int8(
+        iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
+    )
+    out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
+    return out.astype(value.dtype)
+
+
 def _msda_pallas_v3(spatial_shapes, value, loc, attn):
     """The v3 kernel (in-kernel window reductions + pl.when sweep) —
     kept for A/B benchmarking (ms_deform_attn_v3.py)."""
@@ -253,6 +270,10 @@ def ms_deform_attn(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _msda_pallas(
+            spatial_shapes, value, sampling_locations, attention_weights
+        )
+    if impl == "pallas_int8":
+        return _msda_pallas_int8(
             spatial_shapes, value, sampling_locations, attention_weights
         )
     if impl == "pallas_v3":

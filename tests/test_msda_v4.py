@@ -53,3 +53,17 @@ def test_v4_backward_matches_xla(case):
             np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4,
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("case", [CASES[0], CASES[1]])
+def test_v4_int8_close_to_oracle(case):
+    """The opt-in int8 fast path stays within ~1% relative error of the
+    exact oracle (per-(bh,level) value scales + x127 mixer scale)."""
+    shapes, B, H, D, P, Q, seed, loc_range, local = case
+    value, loc, attn = make_inputs(shapes, B, H, D, P, Q, seed, loc_range, local)
+    ox = _ms_deform_attn_xla(value, shapes, loc, attn)
+    with pltpu.force_tpu_interpret_mode():
+        oi = ms_deform_attn(value, shapes, loc, attn, impl="pallas_int8")
+    scale = max(float(jnp.abs(ox).max()), 1e-6)
+    err = float(jnp.max(jnp.abs(oi - ox))) / scale
+    assert err < 0.02, err
