@@ -236,7 +236,8 @@ def evaluate_hoi(
             dataset, preds, gts, n_obj, n_verb, use_nms_filter
         )
     preds, gts = [], []
-    for start in range(0, n_images, batch_size):
+
+    def make_eval_batch(start):
         ids = range(start, min(start + batch_size, n_images))
         samples = [dataset[i] for i in ids]
         images = [s[0] for s in samples]
@@ -251,7 +252,13 @@ def evaluate_hoi(
             valid[b, :h, :w] = True
         text_emb = np.tile(feats[None], (B, 1, 1))
         text_valid = np.ones((B, n_obj + n_verb), bool)
+        return pixels, valid, text_emb, text_valid, targets
 
+    # threaded prefetch (data/loader.py): batch packing overlaps the
+    # device forward, mirroring the train loop
+    for pixels, valid, text_emb, text_valid, targets in prefetch_map(
+        make_eval_batch, range(0, n_images, batch_size), num_workers=2
+    ):
         out = apply_fn(
             params,
             jnp.asarray(pixels),

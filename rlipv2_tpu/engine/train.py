@@ -256,3 +256,76 @@ def fsdp_state_sharding(
         ),
         rng=repl,
     )
+
+
+# Megatron-style column/row parallel rules by param-path suffix: the
+# column-parallel weight splits its OUTPUT features over `model`, the
+# paired row-parallel weight splits its INPUT features, so the activation
+# between them stays sharded and XLA inserts exactly one reduce per pair.
+_TP_COL = (
+    "linear1/kernel",          # deformable/decoder/parse FFN up-proj
+    "mlp_fc1/kernel",          # swin MLP up-proj
+    "intermediate_dense/kernel",  # roberta FFN up-proj
+    "v_proj/kernel", "l_proj/kernel",  # BiMHA q/k projections
+    "values_v_proj/kernel", "values_l_proj/kernel",
+)
+_TP_COL_BIAS = tuple(k.replace("/kernel", "/bias") for k in _TP_COL)
+_TP_ROW = (
+    "linear2/kernel",
+    "mlp_fc2/kernel",
+    "output_dense/kernel",
+    "out_v_proj/kernel", "out_l_proj/kernel",
+)
+
+
+def tp_state_sharding(
+    mesh: Mesh,
+    state: TrainState,
+    axis: str = "model",
+) -> TrainState:
+    """Tensor (Megatron-style) parallelism over the mesh's `model` axis:
+    FFN up-projections and the BiMHA fusion projections are
+    column-parallel, their paired down-projections row-parallel; XLA's
+    SPMD partitioner propagates the activation shardings and inserts the
+    single all-reduce per pair. Everything else (including every param the
+    rules don't name) is replicated, so TP composes with data parallelism
+    on the `data` axis. Numerically identical to pure DP (tested on the
+    virtual mesh)."""
+    repl = NamedSharding(mesh, P())
+    n = mesh.shape[axis]
+
+    def rule_with_path(path, x):
+        shape = getattr(x, "shape", None)
+        if not shape or n <= 1:
+            return repl
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        if name.endswith(_TP_COL) and shape[-1] % n == 0:
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), axis))
+        if name.endswith(_TP_COL_BIAS) and shape[-1] % n == 0:
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), axis))
+        if (
+            name.endswith(_TP_ROW)
+            and len(shape) >= 2
+            and shape[-2] % n == 0
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 2)), axis, None)
+            )
+        return repl
+
+    def map_tree(tree):
+        return jax.tree_util.tree_map_with_path(rule_with_path, tree)
+
+    return TrainState(
+        step=repl,
+        params=map_tree(state.params),
+        opt_state=map_tree(state.opt_state),
+        ema_params=(
+            map_tree(state.ema_params)
+            if state.ema_params is not None
+            else None
+        ),
+        rng=repl,
+    )
