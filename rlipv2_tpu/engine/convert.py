@@ -191,6 +191,54 @@ def _groupnorm(sd, prefix):
             "bias": sd[f"{prefix}.bias"].astype(np.float32)}
 
 
+def convert_alif_encoder(sd, enc_layers, n_fusion, prefix="transformer.encoder."):
+    """Reference ALIF encoder key space -> our ALIFEncoder param subtree
+    (reference: dab_deformable/deformable_transformer.py:791-886 layers +
+    roberta_layers + VLFuse_layers). Shared by the full-model converter
+    and the standalone encoder parity test."""
+    enc: dict = {}
+    for i in range(enc_layers):
+        p = f"{prefix}layers.{i}"
+        enc[f"layer_{i}"] = {
+            "self_attn": _msda(sd, f"{p}.self_attn"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+        }
+    for f in range(n_fusion):
+        enc[f"lang_layer_{f}"] = convert_roberta_layer(
+            {k.replace(f"{prefix}roberta_layers.{f}", "encoder.layer.0"): v
+             for k, v in sd.items()
+             if k.startswith(f"{prefix}roberta_layers.{f}.")},
+            "encoder.layer.0",
+        )
+        vp = f"{prefix}VLFuse_layers.{f}.b_attn"
+        fuse = {
+            "layer_norm_v": _layernorm(sd, f"{vp}.layer_norm_v"),
+            "layer_norm_l": _layernorm(sd, f"{vp}.layer_norm_l"),
+            "gamma_v": sd[f"{vp}.gamma_v"].astype(np.float32),
+            "gamma_l": sd[f"{vp}.gamma_l"].astype(np.float32),
+            "attn": {
+                name: _linear(sd, f"{vp}.attn.{name}")
+                for name in ("v_proj", "l_proj", "values_v_proj",
+                             "values_l_proj", "out_v_proj", "out_l_proj")
+            },
+        }
+        # optional gating sub-layers (S*/LN modes)
+        for tname, ours in (("gamma_v_down", "gate_v_down"), ("gamma_v_up", "gate_v_up"),
+                            ("gamma_l_down", "gate_l_down"), ("gamma_l_up", "gate_l_up"),
+                            ("gamma_v_one", "gate_v_up"), ("gamma_l_one", "gate_l_up")):
+            if f"{vp}.{tname}.weight" in sd:
+                fuse[ours] = _linear(sd, f"{vp}.{tname}")
+        for tname, ours in (("layer_norm_gating_v", "gate_v_ln"),
+                            ("layer_norm_gating_l", "gate_l_ln")):
+            if f"{vp}.{tname}.weight" in sd:
+                fuse[ours] = _layernorm(sd, f"{vp}.{tname}")
+        enc[f"vl_fuse_{f}"] = fuse
+    return enc
+
+
 def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
     """Full reference RLIP_ParSeDA checkpoint (state_dict['model'], key
     space documented in SURVEY.md §2.2/§2.4) -> our flax param tree.
@@ -234,47 +282,9 @@ def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
     params["bias_pred_a"] = sd["bias_pred_a"].astype(np.float32)
 
     # --- ALIF encoder ---
-    enc: dict = {}
-    for i in range(t.enc_layers):
-        p = f"transformer.encoder.layers.{i}"
-        enc[f"layer_{i}"] = {
-            "self_attn": _msda(sd, f"{p}.self_attn"),
-            "norm1": _layernorm(sd, f"{p}.norm1"),
-            "norm2": _layernorm(sd, f"{p}.norm2"),
-            "linear1": _linear(sd, f"{p}.linear1"),
-            "linear2": _linear(sd, f"{p}.linear2"),
-        }
-    for f in range(n_fusion):
-        enc[f"lang_layer_{f}"] = convert_roberta_layer(
-            {k.replace(f"transformer.encoder.roberta_layers.{f}", "encoder.layer.0"): v
-             for k, v in sd.items()
-             if k.startswith(f"transformer.encoder.roberta_layers.{f}.")},
-            "encoder.layer.0",
-        )
-        vp = f"transformer.encoder.VLFuse_layers.{f}.b_attn"
-        fuse = {
-            "layer_norm_v": _layernorm(sd, f"{vp}.layer_norm_v"),
-            "layer_norm_l": _layernorm(sd, f"{vp}.layer_norm_l"),
-            "gamma_v": sd[f"{vp}.gamma_v"].astype(np.float32),
-            "gamma_l": sd[f"{vp}.gamma_l"].astype(np.float32),
-            "attn": {
-                name: _linear(sd, f"{vp}.attn.{name}")
-                for name in ("v_proj", "l_proj", "values_v_proj",
-                             "values_l_proj", "out_v_proj", "out_l_proj")
-            },
-        }
-        # optional gating sub-layers (S*/LN modes)
-        for tname, ours in (("gamma_v_down", "gate_v_down"), ("gamma_v_up", "gate_v_up"),
-                            ("gamma_l_down", "gate_l_down"), ("gamma_l_up", "gate_l_up"),
-                            ("gamma_v_one", "gate_v_up"), ("gamma_l_one", "gate_l_up")):
-            if f"{vp}.{tname}.weight" in sd:
-                fuse[ours] = _linear(sd, f"{vp}.{tname}")
-        for tname, ours in (("layer_norm_gating_v", "gate_v_ln"),
-                            ("layer_norm_gating_l", "gate_l_ln")):
-            if f"{vp}.{tname}.weight" in sd:
-                fuse[ours] = _layernorm(sd, f"{vp}.{tname}")
-        enc[f"vl_fuse_{f}"] = fuse
-    params["encoder"] = enc
+    params["encoder"] = convert_alif_encoder(
+        sd, t.enc_layers, n_fusion, prefix="transformer.encoder."
+    )
 
     # --- decoders (box-head clones live in the decoders here) ---
     def decoder(name, torch_name, head_offset):

@@ -87,17 +87,18 @@ class BiMultiHeadAttention(nn.Module):
             logits_t = jnp.maximum(logits_t, -50000.0)
         if self.clamp_max_for_overflow:
             logits_t = jnp.minimum(logits_t, 50000.0)
-        if mask_v is not None:
-            logits_t = logits_t + jnp.where(
-                mask_v.astype(bool)[:, None, None, :], 0.0, MASK_NEG
-            )
+        # Reference-faithful quirk: fuse_helper.py:406-415/430-438 does
+        # `bool_mask.masked_fill(bool_mask == 0, -9e15)` — filling a BOOL
+        # tensor casts -9e15 to True, so the mask ends up all-True and adds
+        # a CONSTANT 1.0 per softmax row: an exact no-op. Both BiMHA
+        # attention masks are therefore dead in the reference (the ALIF
+        # caller always passes bool masks), and replicating that is what
+        # makes the converted encoder output-exact (tests/test_alif_parity).
+        # mask_v / mask_l stay in the signature for API stability.
+        del mask_v, mask_l
         attn_l = nn.softmax(logits_t, axis=-1)
 
         # vision -> language: softmax over text tokens
-        if mask_l is not None:
-            logits = logits + jnp.where(
-                mask_l.astype(bool)[:, None, None, :], 0.0, MASK_NEG
-            )
         attn_v = nn.softmax(logits, axis=-1)
 
         attn_v = nn.Dropout(self.dropout)(attn_v, deterministic=deterministic)

@@ -8,12 +8,12 @@ Capability parity:
     (reference: models/modeling_roberta.py:340, used at
     models/deformable_transformer.py:866-869).
 
-ALIF mask quirk (kept for checkpoint fidelity): the reference feeds a BOOL
-validity mask straight into `RobertaLayer(attention_mask=...)`, which HF adds
-to the raw attention scores — i.e. valid positions get +1.0, pads get +0.0,
-so pads are only *softly* downweighted. `alif_additive_bool_mask` reproduces
-exactly that. The main text encoder uses the standard HF extended mask
-((1-mask) * large_negative).
+ALIF language mask: the reference's standalone RobertaLayer
+(models/modeling_roberta.py:376-381) runs the incoming bool mask through
+HF's `get_extended_attention_mask`, i.e. proper (1-mask)*finfo.min
+additive masking — the same convention as the main text encoder.
+`alif_additive_bool_mask` builds that extended mask; output-exactness vs
+the vendored layer is locked by tests/test_alif_parity.py.
 """
 
 from __future__ import annotations
@@ -35,9 +35,15 @@ def extended_attention_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray
 
 
 def alif_additive_bool_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """(B, T) bool validity -> (B, 1, 1, T) additive mask of raw 1.0 / 0.0,
-    mimicking the reference's bool-mask-into-RobertaLayer behavior."""
-    return mask.astype(dtype)[:, None, None, :]
+    """(B, T) bool validity -> (B, 1, 1, T) HF extended additive mask:
+    0 on valid slots, finfo(dtype).min on pads. The reference's standalone
+    RobertaLayer (models/modeling_roberta.py:376-381) runs the bool mask
+    through `get_extended_attention_mask`, i.e. PROPER -inf masking —
+    verified output-exact by tests/test_alif_parity.py. (A raw
+    bool-additive interpretation was round-1's reading; the vendored layer
+    actually extends the mask.)"""
+    m = mask.astype(dtype)[:, None, None, :]
+    return (1.0 - m) * jnp.finfo(jnp.float32).min.astype(dtype)
 
 
 def create_position_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
