@@ -101,6 +101,11 @@ class ModelConfig:
     masked_entity_modeling: bool = False
     use_dab: bool = True
     random_refpoints_xy: bool = False
+    # two-stage deformable DETR (reference:
+    # models/deformable_transformer.py:106-134, 176-191): encoder output
+    # proposals + top-k query initialization
+    two_stage: bool = False
+    two_stage_num_proposals: int = 300
     # static text-slot sizes (negative sampling pads to these; the reference
     # pads dynamically, e.g. 500 sampled negatives at engine.py:730-744)
     max_obj_texts: int = 96

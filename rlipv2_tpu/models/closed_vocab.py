@@ -102,6 +102,50 @@ class _ClosedVocabBase(nn.Module):
             ]
         return out
 
+    def _deformable_encode(self, pixels, pixel_valid, deterministic):
+        from rlipv2_tpu.models.deformable import compute_valid_ratios
+
+        t = self.cfg.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        feats = self.backbone(pixels.astype(dt))
+        srcs, masks, pos_embeds = [], [], []
+        for i in range(t.num_feature_levels):
+            if i < self.num_levels:
+                src = self.input_norms[i](self.input_projs[i](feats[i]))
+            elif i == self.num_levels:
+                src = self.input_norms[i](self.input_projs[i](feats[-1]))
+            else:
+                src = self.input_norms[i](self.input_projs[i](srcs[-1]))
+            h, w = src.shape[1], src.shape[2]
+            mask = downsample_mask(pixel_valid, h, w)
+            pos = sine_position_embedding(
+                mask, num_pos_feats=t.hidden_dim // 2
+            ).astype(dt)
+            srcs.append(src)
+            masks.append(mask)
+            pos_embeds.append(pos)
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        src_flat = jnp.concatenate(
+            [s.reshape(B, -1, t.hidden_dim) for s in srcs], axis=1
+        )
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                (p + self.level_embed[i].astype(dt)).reshape(
+                    B, -1, t.hidden_dim
+                )
+                for i, p in enumerate(pos_embeds)
+            ],
+            axis=1,
+        )
+        valid_ratios = compute_valid_ratios(masks)
+        memory = self.encoder(
+            src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+            deterministic,
+        )
+        return memory, spatial_shapes, valid_ratios, mask_flat
+
 
 class QPICModel(_ClosedVocabBase):
     """QPIC (reference DETRHOI, models/hoi.py:3536-3588)."""
@@ -450,49 +494,6 @@ class SepDDETRHOIv3Model(_ClosedVocabBase):
         )
         self.verb_tgt_generator = MultiBranchFusion(t.hidden_dim, 16, dtype=dt)
 
-    def _deformable_encode(self, pixels, pixel_valid, deterministic):
-        from rlipv2_tpu.models.deformable import compute_valid_ratios
-
-        t = self.cfg.transformer
-        dt = self.compute_dtype
-        B = pixels.shape[0]
-        feats = self.backbone(pixels.astype(dt))
-        srcs, masks, pos_embeds = [], [], []
-        for i in range(t.num_feature_levels):
-            if i < self.num_levels:
-                src = self.input_norms[i](self.input_projs[i](feats[i]))
-            elif i == self.num_levels:
-                src = self.input_norms[i](self.input_projs[i](feats[-1]))
-            else:
-                src = self.input_norms[i](self.input_projs[i](srcs[-1]))
-            h, w = src.shape[1], src.shape[2]
-            mask = downsample_mask(pixel_valid, h, w)
-            pos = sine_position_embedding(
-                mask, num_pos_feats=t.hidden_dim // 2
-            ).astype(dt)
-            srcs.append(src)
-            masks.append(mask)
-            pos_embeds.append(pos)
-        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
-        src_flat = jnp.concatenate(
-            [s.reshape(B, -1, t.hidden_dim) for s in srcs], axis=1
-        )
-        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], axis=1)
-        pos_flat = jnp.concatenate(
-            [
-                (p + self.level_embed[i].astype(dt)).reshape(
-                    B, -1, t.hidden_dim
-                )
-                for i, p in enumerate(pos_embeds)
-            ],
-            axis=1,
-        )
-        valid_ratios = compute_valid_ratios(masks)
-        memory = self.encoder(
-            src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
-            deterministic,
-        )
-        return memory, spatial_shapes, valid_ratios, mask_flat
 
     def __call__(self, pixels, pixel_valid, deterministic: bool = True):
         c = self.cfg
@@ -1015,4 +1016,126 @@ class ParSeDABDDETRModel(SepDDETRHOIv3Model):
                 }
                 for l in range(t.dec_layers - 1)
             ]
+        return out
+
+
+def gen_encoder_output_proposals(memory, valid, spatial_shapes, base_scale=0.05):
+    """Two-stage proposal generation (reference
+    models/deformable_transformer.py:106-134): per level a pixel-center
+    grid normalized by the VALID extent with wh = 0.05 * 2^lvl, proposals
+    kept when every coordinate lies in (0.01, 0.99); returns the
+    inverse-sigmoid proposals with +inf on invalid/padded slots and the
+    memory zeroed there. Static shapes: the per-level grids are traced
+    constants."""
+    B, S, C = memory.shape
+    proposals = []
+    off = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        m = valid[:, off : off + h * w].reshape(B, h, w)
+        valid_h = jnp.maximum(
+            jnp.sum(m[:, :, 0].astype(jnp.float32), axis=1), 1.0
+        )
+        valid_w = jnp.maximum(
+            jnp.sum(m[:, 0, :].astype(jnp.float32), axis=1), 1.0
+        )
+        gy, gx = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        grid = jnp.stack([gx, gy], -1).reshape(-1, 2)  # (hw, 2)
+        scale = jnp.stack([valid_w, valid_h], -1)[:, None, :]  # (B, 1, 2)
+        ctr = (grid[None] + 0.5) / scale
+        wh = jnp.full_like(ctr, base_scale * (2.0 ** lvl))
+        proposals.append(jnp.concatenate([ctr, wh], axis=-1))
+        off += h * w
+    prop = jnp.concatenate(proposals, axis=1)  # (B, S, 4)
+    ok = jnp.all((prop > 0.01) & (prop < 0.99), axis=-1)  # (B, S)
+    prop = jnp.log(prop / (1.0 - prop))
+    keep = ok & valid
+    prop = jnp.where(keep[..., None], prop, jnp.inf)
+    mem = jnp.where(keep[..., None], memory, 0.0)
+    return mem, prop, keep
+
+
+class QAHOITwoStageModel(QAHOIModel):
+    """QAHOI with the reference's two-stage query initialization
+    (models/deformable_transformer.py:176-191): encoder output proposals
+    scored by an encoder-level class head, top-k proposals become the
+    decoder reference points and their sine embeddings seed (query_pos,
+    tgt) through pos_trans. Exposes `enc_outputs` for the two-stage aux
+    loss."""
+
+    def setup(self):
+        super().setup()
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        self.enc_output = nn.Dense(t.hidden_dim, dtype=dt, name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(dtype=dt, name="enc_output_norm")
+        self.enc_class = nn.Dense(self.n_obj + 1, dtype=dt, name="enc_class")
+        self.enc_bbox = MLP(t.hidden_dim, 4, 3, dtype=dt, name="enc_bbox")
+        self.pos_trans = nn.Dense(
+            2 * t.hidden_dim, dtype=dt, name="pos_trans"
+        )
+        self.pos_trans_norm = nn.LayerNorm(dtype=dt, name="pos_trans_norm")
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        from rlipv2_tpu.ops.positional import gen_sineembed_for_position
+
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        nq = min(c.two_stage_num_proposals, c.num_queries)
+        memory, spatial_shapes, valid_ratios, mask_flat = (
+            self._deformable_encode(pixels, pixel_valid, deterministic)
+        )
+
+        mem0, prop, keep = gen_encoder_output_proposals(
+            memory.astype(jnp.float32), mask_flat, spatial_shapes
+        )
+        out_mem = self.enc_output_norm(self.enc_output(mem0.astype(dt)))
+        enc_logits = self.enc_class(out_mem).astype(jnp.float32)
+        enc_coords = (
+            self.enc_bbox(out_mem).astype(jnp.float32) + prop
+        )  # unactivated; +inf on invalid slots
+        score = jnp.where(keep, enc_logits[..., 0], -jnp.inf)
+        _, topk_idx = jax.lax.top_k(score, nq)  # (B, nq)
+        topk_coords = jnp.take_along_axis(
+            enc_coords, topk_idx[..., None], axis=1
+        )  # (B, nq, 4)
+        topk_coords = jax.lax.stop_gradient(topk_coords)
+        refs = jax.nn.sigmoid(topk_coords)
+
+        pos_embed = gen_sineembed_for_position(
+            refs, dim=t.hidden_dim // 2
+        ).astype(dt)  # (B, nq, 2*hidden)
+        pt = self.pos_trans_norm(self.pos_trans(pos_embed))
+        query_pos, tgt = jnp.split(pt, 2, axis=-1)
+
+        # like the base QAHOI: one reference per query (the decoder's
+        # midpoint of (refs, refs) is refs itself)
+        dec = self.decoder(
+            tgt,
+            refs,
+            refs,
+            memory,
+            spatial_shapes,
+            valid_ratios,
+            mask_flat,
+            deterministic,
+            query_pos_in=query_pos,
+        )
+        out = self.heads(dec["hs"])
+        # two-stage aux (reference: the encoder proposal head is trained
+        # with the detection losses, models/deformable_transformer.py:689)
+        finite_coords = jnp.where(
+            jnp.isfinite(enc_coords), enc_coords, 0.0
+        )
+        out["enc_outputs"] = {
+            "pred_logits": enc_logits,
+            "pred_boxes": jax.nn.sigmoid(finite_coords),
+            "proposal_valid": keep,
+        }
         return out

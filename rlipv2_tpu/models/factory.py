@@ -66,6 +66,10 @@ def build_model(cfg: ModelConfig):
             "seq_detr_hoi": SeqDETRHOIModel,
             "stochastic_detr_hoi": StochasticDETRHOIModel,
         }[v](cfg)
+    if v == "qahoi_two_stage":
+        from rlipv2_tpu.models.closed_vocab import QAHOITwoStageModel
+
+        return QAHOITwoStageModel(cfg)
     if v == "parse_dab_ddetr":
         from rlipv2_tpu.models.closed_vocab import ParSeDABDDETRModel
 

@@ -289,3 +289,27 @@ def test_parse_dab_ddetr():
     for v in jax.tree_util.tree_leaves(out):
         assert np.isfinite(np.asarray(v)).all()
     assert len(out["aux_outputs"]) == cfg.transformer.dec_layers - 1
+
+
+def test_qahoi_two_stage():
+    """Two-stage deformable query init (reference
+    models/deformable_transformer.py:106-134, 176-191): encoder proposal
+    head + top-k seeded decoder; enc_outputs aux present with boxes in
+    (0,1) and only valid proposals selected."""
+    from rlipv2_tpu.models.closed_vocab import QAHOITwoStageModel
+
+    cfg = dataclasses.replace(
+        tiny_config(), two_stage=True, two_stage_num_proposals=8,
+        num_queries=8,
+    )
+    model = QAHOITwoStageModel(cfg)
+    out = run_closed_vocab(model, cfg)
+    nq = 8
+    assert out["pred_obj_logits"].shape == (1, nq, cfg.max_obj_texts)
+    for key in ("pred_sub_boxes", "pred_obj_boxes"):
+        b = np.asarray(out[key])
+        assert (b >= 0).all() and (b <= 1).all()
+    enc = out["enc_outputs"]
+    assert enc["pred_logits"].shape[:2] == enc["pred_boxes"].shape[:2]
+    for v in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
