@@ -11,6 +11,17 @@ dab_deformable/deformable_transformer.py:283-296 for the module shape).
 
 All attention here is dense (no deformable op): DETR post-LN layers with
 positional embeddings added to Q/K.
+
+KNOWN APPROXIMATION vs the reference v1 wiring (flagged for a faithful
+rework): the reference ParSeTransformer encodes a JOINT [image ; text]
+sequence through a pre-norm CrossModelTransformerEncoder with
+return_intermediate=True and classifies layer i from the i-th
+per-encoder-layer TEXT state (models/ParSetransformer.py:963-1207,
+hoi.py:2406-2420), with verb queries = h[-1] + o[-1] (plain sum). This
+module instead fuses at decode time with a post-norm fusion encoder and
+an MBF verb-query generator. `RLIPMDETR` (models/mdetr.py) covers the
+joint-encode structure; converted v1 checkpoints should target that
+wiring once the per-layer text-state classify lands.
 """
 
 from __future__ import annotations
