@@ -82,4 +82,8 @@ def build_model(cfg: ModelConfig):
         from rlipv2_tpu.models.mdetr import RLIPMDETR
 
         return RLIPMDETR(cfg)
+    if v == "rlip_parse_v1_joint":
+        from rlipv2_tpu.models.mdetr import RLIPParSeV1Joint
+
+        return RLIPParSeV1Joint(cfg)
     raise ValueError(f"unknown variant: {v}")

@@ -12,16 +12,14 @@ dab_deformable/deformable_transformer.py:283-296 for the module shape).
 All attention here is dense (no deformable op): DETR post-LN layers with
 positional embeddings added to Q/K.
 
-KNOWN APPROXIMATION vs the reference v1 wiring (flagged for a faithful
-rework): the reference ParSeTransformer encodes a JOINT [image ; text]
-sequence through a pre-norm CrossModelTransformerEncoder with
-return_intermediate=True and classifies layer i from the i-th
-per-encoder-layer TEXT state (models/ParSetransformer.py:963-1207,
-hoi.py:2406-2420), with verb queries = h[-1] + o[-1] (plain sum). This
-module instead fuses at decode time with a post-norm fusion encoder and
-an MBF verb-query generator. `RLIPMDETR` (models/mdetr.py) covers the
-joint-encode structure; converted v1 checkpoints should target that
-wiring once the per-layer text-state classify lands.
+NOTE: this module keeps round-1's decode-time-fusion design as an
+alternative; the REFERENCE-FAITHFUL v1 wiring (joint [image ; text]
+post-norm encode with per-encoder-layer text-state classification, verb
+query pos = h[-1] + o[-1], shared decoder final norms) is
+`RLIPParSeV1Joint` in models/mdetr.py (factory variant
+`rlip_parse_v1_joint`), output-verified against the torch
+ParSeTransformer in tests/test_parse_v1_parity.py — converted v1
+checkpoints should target that variant.
 """
 
 from __future__ import annotations
@@ -43,10 +41,15 @@ NEG = -1e9
 
 
 class EncoderLayer(nn.Module):
-    """DETR post-LN encoder layer: self-attn(q=k=x+pos, v=x) + FFN."""
+    """DETR encoder layer: self-attn(q=k=x+pos, v=x) + FFN. post-LN by
+    default; `pre_norm=True` gives torch's normalize_before variant
+    (norm applied before each sub-block, residual on the unnormed input —
+    reference ParSetransformer.py TransformerEncoderLayer.forward_pre,
+    used by the CrossModel fusion encoders)."""
 
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
+    pre_norm: bool = False
 
     @nn.compact
     def __call__(self, x, pos, key_valid=None, deterministic=True):
@@ -54,6 +57,19 @@ class EncoderLayer(nn.Module):
         mask = None
         if key_valid is not None:
             mask = key_valid[:, None, None, :]
+        if self.pre_norm:
+            x2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            sa = nn.MultiHeadDotProductAttention(
+                num_heads=t.nheads, dropout_rate=t.dropout, dtype=self.dtype,
+                name="self_attn",
+            )(x2 + pos, x2 + pos, x2, mask=mask, deterministic=deterministic)
+            x = x + nn.Dropout(t.dropout)(sa, deterministic=deterministic)
+            x2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            ff = nn.Dense(t.dim_feedforward, dtype=self.dtype, name="linear1")(x2)
+            ff = nn.Dense(t.hidden_dim, dtype=self.dtype, name="linear2")(
+                nn.Dropout(t.dropout)(nn.relu(ff), deterministic=deterministic)
+            )
+            return x + nn.Dropout(t.dropout)(ff, deterministic=deterministic)
         sa = nn.MultiHeadDotProductAttention(
             num_heads=t.nheads, dropout_rate=t.dropout, dtype=self.dtype,
             name="self_attn",

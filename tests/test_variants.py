@@ -313,3 +313,14 @@ def test_qahoi_two_stage():
     assert enc["pred_logits"].shape[:2] == enc["pred_boxes"].shape[:2]
     for v in jax.tree_util.tree_leaves(out):
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_rlip_parse_v1_joint():
+    """Faithful v1 joint wiring (reference ParSetransformer.py:963-1207):
+    pre-norm joint encoder with per-layer text-state classification, verb
+    query pos = h[-1] + o[-1]."""
+    cfg = dataclasses.replace(tiny_config(), variant="rlip_parse_v1_joint")
+    model = build_model(cfg)
+    assert type(model).__name__ == "RLIPParSeV1Joint"
+    out = run_forward(model, cfg)
+    check(out, cfg)
