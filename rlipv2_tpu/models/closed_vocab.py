@@ -273,7 +273,7 @@ class QAHOIModel(_ClosedVocabBase):
                             name=f"input_proj_{i}")
                 )
             norms.append(
-                nn.GroupNorm(num_groups=32, dtype=dt, name=f"input_norm_{i}")
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dt, name=f"input_norm_{i}")
             )
         self.input_projs = projs
         self.input_norms = norms
@@ -465,7 +465,7 @@ class SepDDETRHOIv3Model(_ClosedVocabBase):
                             name=f"input_proj_{i}")
                 )
             norms.append(
-                nn.GroupNorm(num_groups=32, dtype=dt, name=f"input_norm_{i}")
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dt, name=f"input_norm_{i}")
             )
         self.input_projs = projs
         self.input_norms = norms
@@ -1072,13 +1072,13 @@ class QAHOITwoStageModel(QAHOIModel):
         t = c.transformer
         dt = self.compute_dtype
         self.enc_output = nn.Dense(t.hidden_dim, dtype=dt, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(dtype=dt, name="enc_output_norm")
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="enc_output_norm")
         self.enc_class = nn.Dense(self.n_obj + 1, dtype=dt, name="enc_class")
         self.enc_bbox = MLP(t.hidden_dim, 4, 3, dtype=dt, name="enc_bbox")
         self.pos_trans = nn.Dense(
             2 * t.hidden_dim, dtype=dt, name="pos_trans"
         )
-        self.pos_trans_norm = nn.LayerNorm(dtype=dt, name="pos_trans_norm")
+        self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="pos_trans_norm")
 
     def __call__(self, pixels, pixel_valid, deterministic: bool = True):
         from rlipv2_tpu.ops.positional import gen_sineembed_for_position

@@ -69,7 +69,7 @@ class DeformableDecoderLayer(nn.Module):
                 deterministic=deterministic,
             )
             tgt = tgt + nn.Dropout(c.dropout)(sa, deterministic=deterministic)
-            tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+            tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
 
         ca = MSDeformAttention(
             d_model=c.hidden_dim,
@@ -81,13 +81,13 @@ class DeformableDecoderLayer(nn.Module):
             name="cross_attn",
         )(with_pos(tgt), reference_points, src, spatial_shapes, src_valid_mask)
         tgt = tgt + nn.Dropout(c.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
         ff = nn.Dense(c.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.Dropout(c.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(c.hidden_dim, dtype=self.dtype, name="linear2")(ff)
         tgt = tgt + nn.Dropout(c.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
 
 
 class DABHOIDecoder(nn.Module):

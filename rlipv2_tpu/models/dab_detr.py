@@ -76,7 +76,7 @@ class ConditionalDecoderLayer(nn.Module):
         ) / jnp.sqrt(float(hd))
         att = jax.nn.softmax(logits, axis=-1).astype(dt)
         sa = jnp.einsum("bnqk,bknc->bqnc", att, vh).reshape(B, nq, d)
-        tgt = nn.LayerNorm(dtype=dt, name="norm1")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")(
             tgt + nn.Dropout(t.dropout)(sa, deterministic=deterministic)
         )
 
@@ -107,14 +107,14 @@ class ConditionalDecoderLayer(nn.Module):
             )
         att = jax.nn.softmax(logits, axis=-1).astype(dt)
         ca = jnp.einsum("bnqk,bknc->bqnc", att, vh).reshape(B, nq, d)
-        tgt = nn.LayerNorm(dtype=dt, name="norm2")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")(
             tgt + nn.Dropout(t.dropout)(ca, deterministic=deterministic)
         )
 
         ff = nn.Dense(t.dim_feedforward, dtype=dt, name="linear1")(tgt)
         ff = nn.Dropout(t.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(d, dtype=dt, name="linear2")(ff)
-        return nn.LayerNorm(dtype=dt, name="norm3")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm3")(
             tgt + nn.Dropout(t.dropout)(ff, deterministic=deterministic)
         )
 

@@ -102,13 +102,13 @@ class DeformableEncoderLayer(nn.Module):
         # it. No-op when the layer is not under nn.remat.
         attn_out = checkpoint_name(attn_out, "msda_out")
         src = src + nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
 
         ff = nn.Dense(c.dim_feedforward, dtype=self.dtype, name="linear1")(src)
         ff = nn.Dropout(c.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(c.hidden_dim, dtype=self.dtype, name="linear2")(ff)
         src = src + nn.Dropout(c.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
 class DeformableEncoder(nn.Module):

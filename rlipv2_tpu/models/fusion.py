@@ -129,8 +129,8 @@ class BiAttentionBlock(nn.Module):
         c = self.cfg
         init_values = 1.0 / self.num_feature_levels
 
-        v = nn.LayerNorm(dtype=self.dtype, name="layer_norm_v")(v)
-        l = nn.LayerNorm(dtype=self.dtype, name="layer_norm_l")(l)
+        v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")(v)
+        l = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_l")(l)
         delta_v, delta_l = BiMultiHeadAttention(
             v_dim=self.v_dim,
             l_dim=self.l_dim,
@@ -154,7 +154,7 @@ class BiAttentionBlock(nn.Module):
             down_dim = x_dim // 2 if to_one else x_dim // 4
             h = nn.Dense(down_dim, dtype=self.dtype, name=f"{prefix}_down")(delta)
             if ln:
-                h = nn.LayerNorm(dtype=self.dtype, name=f"{prefix}_ln")(h)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"{prefix}_ln")(h)
             h = nn.relu(h)
             out_dim = 1 if to_one else x_dim
             return nn.Dense(out_dim, dtype=self.dtype, name=f"{prefix}_up")(h)

@@ -286,8 +286,8 @@ class RLIPParSeV1Joint(nn.Module):
         qpos = jnp.broadcast_to(
             query_embed.astype(dt)[None], (B, nq, t.hidden_dim)
         )
-        ho_norm = nn.LayerNorm(dtype=dt, name="ho_decoder_norm")
-        verb_norm = nn.LayerNorm(dtype=dt, name="verb_decoder_norm")
+        ho_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ho_decoder_norm")
+        verb_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="verb_decoder_norm")
         tgt = jnp.zeros_like(qpos)
         hs = []
         for i in range(t.dec_layers):

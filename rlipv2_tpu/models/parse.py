@@ -58,13 +58,13 @@ class EncoderLayer(nn.Module):
         if key_valid is not None:
             mask = key_valid[:, None, None, :]
         if self.pre_norm:
-            x2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             sa = nn.MultiHeadDotProductAttention(
                 num_heads=t.nheads, dropout_rate=t.dropout, dtype=self.dtype,
                 name="self_attn",
             )(x2 + pos, x2 + pos, x2, mask=mask, deterministic=deterministic)
             x = x + nn.Dropout(t.dropout)(sa, deterministic=deterministic)
-            x2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             ff = nn.Dense(t.dim_feedforward, dtype=self.dtype, name="linear1")(x2)
             ff = nn.Dense(t.hidden_dim, dtype=self.dtype, name="linear2")(
                 nn.Dropout(t.dropout)(nn.relu(ff), deterministic=deterministic)
@@ -74,14 +74,14 @@ class EncoderLayer(nn.Module):
             num_heads=t.nheads, dropout_rate=t.dropout, dtype=self.dtype,
             name="self_attn",
         )(x + pos, x + pos, x, mask=mask, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             x + nn.Dropout(t.dropout)(sa, deterministic=deterministic)
         )
         ff = nn.Dense(t.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         ff = nn.Dense(t.hidden_dim, dtype=self.dtype, name="linear2")(
             nn.Dropout(t.dropout)(nn.relu(ff), deterministic=deterministic)
         )
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             x + nn.Dropout(t.dropout)(ff, deterministic=deterministic)
         )
 
@@ -97,7 +97,7 @@ class DecoderLayer(nn.Module):
             num_heads=t.nheads, dropout_rate=t.dropout, dtype=self.dtype,
             name="self_attn",
         )(tgt + query_pos, tgt + query_pos, tgt, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             tgt + nn.Dropout(t.dropout)(sa, deterministic=deterministic)
         )
         mask = None
@@ -107,14 +107,14 @@ class DecoderLayer(nn.Module):
             num_heads=t.nheads, dropout_rate=t.dropout, dtype=self.dtype,
             name="cross_attn",
         )(tgt + query_pos, memory + pos, memory, mask=mask, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             tgt + nn.Dropout(t.dropout)(ca, deterministic=deterministic)
         )
         ff = nn.Dense(t.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.Dense(t.hidden_dim, dtype=self.dtype, name="linear2")(
             nn.Dropout(t.dropout)(nn.relu(ff), deterministic=deterministic)
         )
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
             tgt + nn.Dropout(t.dropout)(ff, deterministic=deterministic)
         )
 

@@ -58,13 +58,35 @@ def downsample_mask(valid: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def init_model_params(model, rng, pixels, pixel_valid, text_emb, text_valid,
-                      n_obj_texts, token_ids, token_mask):
+                      n_obj_texts, token_ids, token_mask,
+                      include_tagger: bool = False):
     """Initialize ALL params, including the text encoder (which the main
-    forward never traces because it consumes pre-pooled text features)."""
+    forward never traces because it consumes pre-pooled text features).
+    include_tagger additionally traces `forward_tagger` so the tagger-only
+    params (coord_proj) materialize for R-Tagger training."""
 
     def both(mdl):
         out = mdl(pixels, pixel_valid, text_emb, text_valid, n_obj_texts)
         pooled = mdl.encode_text(token_ids, token_mask)
+        if include_tagger:
+            from rlipv2_tpu.structures import HOITargets
+
+            B = pixels.shape[0]
+            M = mdl.cfg.num_queries // 2
+            tgt = HOITargets(
+                obj_labels=jnp.zeros((B, M), jnp.int32),
+                sub_labels=jnp.zeros((B, M), jnp.int32),
+                verb_labels=jnp.zeros(
+                    (B, M, mdl.cfg.max_verb_texts), jnp.float32
+                ),
+                sub_boxes=jnp.full((B, M, 4), 0.5),
+                obj_boxes=jnp.full((B, M, 4), 0.5),
+                valid=jnp.ones((B, M), bool),
+            )
+            mdl.forward_tagger(
+                pixels, pixel_valid, text_emb, text_valid, tgt,
+                jax.random.PRNGKey(0), n_obj_texts,
+            )
         return out, pooled
 
     return nn.init(both, model)(rng)
@@ -116,7 +138,7 @@ class RLIPParSeDA(nn.Module):
                         name=f"input_proj_{i}",
                     )
                 )
-            norms.append(nn.GroupNorm(num_groups=32, dtype=dt, name=f"input_norm_{i}"))
+            norms.append(nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dt, name=f"input_norm_{i}"))
         self.input_projs = projs
         self.input_norms = norms
         del n_extra

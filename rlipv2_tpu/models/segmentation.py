@@ -78,7 +78,7 @@ class MaskHeadSmallConv(nn.Module):
                         dtype=self.dtype, name=f"lay{name}")(y)
             # GroupNorm(8) at canonical widths (reference); clamp for tiny
             # test configs whose later stages drop below 8 channels
-            y = nn.GroupNorm(num_groups=min(8, feats), dtype=self.dtype,
+            y = nn.GroupNorm(num_groups=min(8, feats), epsilon=1e-5, dtype=self.dtype,
                              name=f"gn{name}")(y)
             return nn.relu(y)
 

@@ -175,7 +175,7 @@ class SwinBlock(nn.Module):
         shift = self.shift if min(H, W) > ws else 0
 
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
@@ -190,7 +190,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
@@ -212,7 +212,7 @@ class PatchMerging(nn.Module):
         # torch concat order: (x0, x1, x2, x3) = rows (0::2, 1::2) x cols —
         # our reshape gives [r0c0, r0c1, r1c0, r1c1]; torch gives
         # [r0c0, r1c0, r0c1, r1c1]; the converter permutes the kernel.
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -241,7 +241,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(
             spec.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype, name="patch_embed"
         )(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         total_blocks = sum(spec.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -271,7 +271,7 @@ class SwinTransformer(nn.Module):
                 block_i += 1
             x = xp[:, :H, :W]
             if stage in self.out_indices:
-                out = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{stage}")(x)
+                out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{stage}")(x)
                 outs.append(out)
             if stage < len(spec.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)
