@@ -29,7 +29,10 @@ def get_parser():
     p.add_argument("--dataset_file", default="hico", choices=["hico", "vcoco", "oi_sgg", "vg", "pretrain"])
     p.add_argument("--hoi_path", type=str, help="dataset root")
     # relational pretraining (reference: train_RLIP_ParSeDA_v2_mixed_* scripts)
-    p.add_argument("--pretrain_anno", type=str, help="VG-format merged annotation JSON")
+    p.add_argument("--pretrain_anno", type=str,
+                   help="VG-format annotation JSON; comma-separate several "
+                        "(e.g. vg.json,coco.json,o365.json) for "
+                        "BatchIterativeSampler-style interleaving")
     p.add_argument("--vg_folder", type=str)
     p.add_argument("--coco2017_folder", type=str)
     p.add_argument("--o365_folder", type=str)
@@ -61,6 +64,13 @@ def get_parser():
     p.add_argument("--max_steps", type=int, default=None, help="debug: cap steps/epoch")
     p.add_argument("--giou_verb_label", action="store_true", help="RPL soft labels")
     p.add_argument("--triplet_filtering", action="store_true")
+    # R-Tagger training (reference: main.py --verb_tagger +
+    # scripts/verb_tagger/train_vg_RLIP_ParSeD_v2_tagger_resnet.sh:14-56)
+    p.add_argument("--verb_tagger", action="store_true",
+                   help="train the relation tagger on GT-pair noised "
+                        "queries (use with --dataset_file vg)")
+    p.add_argument("--label_noise_scale", type=float, default=0.3)
+    p.add_argument("--box_noise_scale", type=float, default=0.6)
     # round-2 capability knobs
     p.add_argument("--variant", default=None,
                    choices=[None, "rlip_parseda_v2", "rlip_parsed_v2",
@@ -123,6 +133,9 @@ def build_everything(args):
     if args.masked_entity_modeling:
         model_overrides["masked_entity_modeling"] = True
         model_overrides["subject_class"] = True
+    if args.verb_tagger:
+        # tagger_losses reconstruct subject classes too
+        model_overrides["subject_class"] = True
     if model_overrides:
         cfg = _dc.replace(cfg, **model_overrides)
     if args.remat_encoder:
@@ -178,6 +191,7 @@ def build_everything(args):
             cfg.max_obj_texts,
             jnp.ones((1, 8), jnp.int32),
             jnp.ones((1, 8), jnp.int32),
+            include_tagger=args.verb_tagger,
         )
     state, tx = create_train_state(params, tcfg, steps_per_epoch=1000)
     n_dev = len(jax.devices())
@@ -193,8 +207,20 @@ def build_everything(args):
         state = jax.device_put(state, state_sharding)
     else:
         mesh = create_mesh() if n_dev > 1 else None
+    # multi-dataset interleaving: one optimizer step accumulates one
+    # micro-batch per paradigm entry (reference: engine.py:138-165)
+    paradigm = [int(d) for d in args.iterative_paradigm.split(",")]
+    accumulation_steps = (
+        len(paradigm) if args.dataset_file == "pretrain" and len(paradigm) > 1
+        else 1
+    )
     step = make_train_step(
-        model, criterion, tx, cfg, tcfg, mesh, state_sharding=state_sharding
+        model, criterion, tx, cfg, tcfg, mesh,
+        accumulation_steps=accumulation_steps,
+        state_sharding=state_sharding,
+        tagger=args.verb_tagger,
+        box_noise_scale=args.box_noise_scale,
+        label_noise_scale=args.label_noise_scale,
     )
 
     encode_method = getattr(type(model), "encode_text", None)
@@ -230,6 +256,7 @@ def build_everything(args):
         "state": state,
         "step": step,
         "mesh": mesh,
+        "accumulation_steps": accumulation_steps,
         "text_encoder": CachedTextEncoder(encode_fn),
     }
 
@@ -260,6 +287,8 @@ def main(argv=None):
 
     if args.dataset_file == "pretrain":
         return run_pretrain(args, ctx)
+    if args.dataset_file == "vg":
+        return run_vg(args, ctx)
 
     import jax as _jax
 
@@ -349,46 +378,133 @@ def main(argv=None):
 
 
 def run_pretrain(args, ctx):
-    """Relational pre-training epochs over the merged VG-format dataset
+    """Relational pre-training over one or several VG-format datasets
     (reference: scripts/RLIP_ParSeDA/train_RLIP_ParSeDA_v2_mixed_*.sh +
-    engine.py:45-201 with BatchIterativeDistributedSampler)."""
+    engine.py:45-201 with BatchIterativeDistributedSampler,
+    datasets/mixed_dataset.py:48-220).
+
+    With several --pretrain_anno files the batches interleave per
+    --iterative_paradigm (e.g. "0,1,2" = a VG batch, a COCO batch, an O365
+    batch), and ONE optimizer step accumulates one micro-batch per
+    paradigm entry — exactly the reference's gradient_accumulation
+    strategy (engine.py:138-165)."""
     import time as _time
 
-    from rlipv2_tpu.data.vg import VGRelDataset, batch_iterative_indices
+    from rlipv2_tpu.data.vg import (
+        ConcatRelDataset,
+        VGRelDataset,
+        batch_iterative_indices,
+    )
     from rlipv2_tpu.engine.checkpoint import CheckpointManager
     from rlipv2_tpu.engine.loops import train_one_epoch
     from rlipv2_tpu.utils.logging import append_log_line
 
-    ds = VGRelDataset(
-        args.pretrain_anno,
-        {
-            "vg": args.vg_folder,
-            "coco2017": args.coco2017_folder,
-            "o365": args.o365_folder,
-        },
-        num_queries=ctx["cfg"].num_queries,
-        relation_threshold=args.relation_threshold,
-        pair_overlap=args.pair_overlap,
-    )
+    folders = {
+        "vg": args.vg_folder,
+        "coco2017": args.coco2017_folder,
+        "o365": args.o365_folder,
+    }
+    anno_files = [a for a in args.pretrain_anno.split(",") if a]
+    datasets = [
+        VGRelDataset(
+            anno,
+            folders,
+            num_queries=ctx["cfg"].num_queries,
+            relation_threshold=args.relation_threshold,
+            pair_overlap=args.pair_overlap,
+        )
+        for anno in anno_files
+    ]
+    ds = datasets[0] if len(datasets) == 1 else ConcatRelDataset(datasets)
+    sizes = [len(d) for d in datasets]
+    obj_vocab = getattr(ds, "object_names")
+    verb_vocab = getattr(ds, "relationship_names")
     paradigm = [int(d) for d in args.iterative_paradigm.split(",")]
+    K = ctx["accumulation_steps"]
     mgr = CheckpointManager(Path(args.output_dir) / "ckpt")
     state = ctx["state"]
     for epoch in range(args.epochs):
         batches = batch_iterative_indices(
-            [len(ds)], args.batch_size, paradigm, shuffle=True,
+            sizes, args.batch_size, paradigm, shuffle=True,
             seed=args.seed, epoch=epoch,
         )
+        if K > 1:
+            # group one full-size micro-batch per paradigm entry into a
+            # single accumulated step; drop ragged tail cycles
+            groups = [
+                batches[i : i + K]
+                for i in range(0, len(batches) - K + 1, K)
+                if all(len(b) == args.batch_size for b in batches[i : i + K])
+            ]
+            batches = groups
+        else:
+            batches = [b for b in batches if len(b) == args.batch_size]
         t0 = _time.time()
         state, stats = train_one_epoch(
             ctx["step"], state, ds, indices=[], batch_size=args.batch_size,
             cfg=ctx["cfg"], text_encoder=ctx["text_encoder"], epoch=epoch,
+            negative_text_sampling=args.negative_text_sampling,
+            obj_vocab=obj_vocab, verb_vocab=verb_vocab,
+            obj_freqs=list(ds.object_freq.values()),
+            verb_freqs=list(ds.relationship_freq.values()),
+            sampling_strategy=args.sampling_strategy,
+            print_freq=args.print_freq, max_steps=args.max_steps,
+            batch_lists=batches, num_workers=args.num_workers,
+            accumulation_steps=K,
+        )
+        mgr.save(epoch, state, config=ctx["tcfg"])
+        append_log_line(
+            Path(args.output_dir),
+            {"epoch": epoch, "train": stats, "epoch_time": _time.time() - t0},
+        )
+    return state
+
+
+def run_vg(args, ctx):
+    """VG relational training; with --verb_tagger this is the R-Tagger
+    training entry (reference: main.py --verb_tagger --cross_modal_pretrain
+    on VGRelTagger, scripts/verb_tagger/train_vg_RLIP_ParSeD_v2_tagger_
+    resnet.sh). Each GT (sub, obj) pair plus sampled negative pairs become
+    noised queries; tagger_losses reconstruct boxes/classes/relations."""
+    import time as _time
+
+    from rlipv2_tpu.data.vg import VGRelDataset, VGRelTaggerDataset
+    from rlipv2_tpu.engine.checkpoint import CheckpointManager
+    from rlipv2_tpu.engine.loops import train_one_epoch
+    from rlipv2_tpu.utils.logging import append_log_line
+
+    cfg = ctx["cfg"]
+    ds_cls = VGRelTaggerDataset if args.verb_tagger else VGRelDataset
+    ds = ds_cls(
+        args.pretrain_anno,
+        {"vg": args.vg_folder},
+        num_queries=cfg.num_queries,
+        relation_threshold=args.relation_threshold,
+        pair_overlap=args.pair_overlap,
+    )
+    # tagger slots are the query pairs themselves — pad targets to
+    # num_queries // 2 (forward_tagger requires M == nq // 2)
+    max_triplets = cfg.num_queries // 2 if args.verb_tagger else None
+    mgr = CheckpointManager(Path(args.output_dir) / "ckpt")
+    state = ctx["state"]
+    import random as _random
+
+    rng = _random.Random(args.seed)
+    for epoch in range(args.epochs):
+        indices = list(range(len(ds)))
+        rng.shuffle(indices)
+        t0 = _time.time()
+        state, stats = train_one_epoch(
+            ctx["step"], state, ds, indices=indices,
+            batch_size=args.batch_size,
+            cfg=cfg, text_encoder=ctx["text_encoder"], epoch=epoch,
             negative_text_sampling=args.negative_text_sampling,
             obj_vocab=ds.object_names, verb_vocab=ds.relationship_names,
             obj_freqs=list(ds.object_freq.values()),
             verb_freqs=list(ds.relationship_freq.values()),
             sampling_strategy=args.sampling_strategy,
             print_freq=args.print_freq, max_steps=args.max_steps,
-            batch_lists=batches, num_workers=args.num_workers,
+            num_workers=args.num_workers, max_triplets=max_triplets,
         )
         mgr.save(epoch, state, config=ctx["tcfg"])
         append_log_line(

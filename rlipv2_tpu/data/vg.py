@@ -260,6 +260,79 @@ class VGRelDataset:
             "sub_boxes": np.asarray(sub_boxes, np.float32).reshape(n, 4),
             "obj_boxes": np.asarray(obj_boxes, np.float32).reshape(n, 4),
         }
+        if getattr(self, "_expose_kept", False):
+            # tagger subclass needs the surviving boxes for negative pairs
+            target["_kept"] = {
+                "boxes": t["boxes"],
+                "labels": t["labels"],
+                "kept": kept,
+                "pairs": pairs,
+            }
+        return img, target
+
+
+class VGRelTaggerDataset(VGRelDataset):
+    """R-Tagger training dataset (reference `VGRelTagger`,
+    datasets/vg.py:250-533): each item fills up to num_queries//2 query-pair
+    slots with the GT (positive) pairs plus NEGATIVE pairs sampled without
+    replacement from permutations of the transform-surviving boxes; a
+    negative pair keeps its GT sub/obj labels and boxes but carries an
+    all-zero verb-label vector, so the tagger learns to score candidate
+    relations against arbitrary box pairs."""
+
+    def __init__(self, *args, seed: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._expose_kept = True
+        self._rng = random.Random(seed)
+
+    def __getitem__(self, idx):
+        img, target = super().__getitem__(idx)
+        info = target.pop("_kept")
+        boxes, labels, kept, pairs = (
+            info["boxes"], info["labels"], info["kept"], info["pairs"],
+        )
+        num_pairs = self.num_pairs
+        n_pos = len(pairs)
+        n_boxes = len(kept)
+        pos_set = {(kept.index(s), kept.index(o)) for s, o in pairs}
+        possible = [
+            (i, j) for i in range(n_boxes) for j in range(n_boxes) if i != j
+        ]
+        negs = [p for p in possible if p not in pos_set]
+
+        fields = ("obj_labels", "sub_labels", "verb_labels", "sub_boxes",
+                  "obj_boxes")
+        if n_pos >= num_pairs:
+            keep_pos = self._rng.sample(range(n_pos), num_pairs)
+            for k in fields:
+                target[k] = target[k][keep_pos]
+            negs = []
+        elif len(possible) >= num_pairs:
+            # enough material to fill every slot (reference branch at
+            # datasets/vg.py:486-490)
+            negs = self._rng.sample(negs, num_pairs - n_pos)
+        # else: fewer possible pairs than slots -> use ALL negatives and
+        # leave the rest padded (masked downstream)
+
+        if negs:
+            V = target["verb_labels"].shape[1]
+            target["sub_labels"] = np.concatenate(
+                [target["sub_labels"],
+                 np.asarray([labels[i] for i, _ in negs], np.int64)]
+            )
+            target["obj_labels"] = np.concatenate(
+                [target["obj_labels"],
+                 np.asarray([labels[j] for _, j in negs], np.int64)]
+            )
+            target["verb_labels"] = np.concatenate(
+                [target["verb_labels"], np.zeros((len(negs), V), np.float32)]
+            )
+            target["sub_boxes"] = np.concatenate(
+                [target["sub_boxes"], np.stack([boxes[i] for i, _ in negs])]
+            )
+            target["obj_boxes"] = np.concatenate(
+                [target["obj_boxes"], np.stack([boxes[j] for _, j in negs])]
+            )
         return img, target
 
 

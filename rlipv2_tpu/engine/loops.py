@@ -93,10 +93,14 @@ def train_one_epoch(
     max_triplets: Optional[int] = None,
     batch_lists: Optional[Sequence[Sequence[int]]] = None,
     num_workers: int = 0,
+    accumulation_steps: int = 1,
 ):
     """indices + batch_size give a plain epoch; batch_lists (e.g. from
     data/vg.batch_iterative_indices) gives pre-built whole batches for
-    multi-dataset interleaving.
+    multi-dataset interleaving. With accumulation_steps > 1 each
+    batch_lists entry is a group of K micro-batch index lists; the K
+    micro-batches are stacked on a leading axis for the accumulating
+    train step (engine/train.py grads_accumulated).
 
     num_workers > 0 builds batches in a threaded prefetch window
     (data/loader.py) and fetches step metrics one step LATE, so host
@@ -130,6 +134,30 @@ def train_one_epoch(
             rng if num_workers <= 0
             else batch_rng(0, epoch, bidx)
         )
+        if accumulation_steps > 1:
+            # batch_ids is a group of K micro-batch index lists; each
+            # micro-batch may land in a different resolution bucket, so
+            # pad all to the group max before stacking
+            micros = [_make_one(list(ids), b_rng) for ids in batch_ids]
+            Hm = max(m.pixels.shape[1] for m in micros)
+            Wm = max(m.pixels.shape[2] for m in micros)
+
+            def padto(x):
+                ph, pw = Hm - x.shape[1], Wm - x.shape[2]
+                if ph == 0 and pw == 0:
+                    return x
+                pad = [(0, 0), (0, ph), (0, pw)] + [(0, 0)] * (x.ndim - 3)
+                return jnp.pad(x, pad)
+
+            micros = [
+                m._replace(pixels=padto(m.pixels),
+                           pixel_valid=padto(m.pixel_valid))
+                for m in micros
+            ]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
+        return _make_one(batch_ids, b_rng)
+
+    def _make_one(batch_ids, b_rng):
         samples = [dataset[i] for i in batch_ids]
         arrays, obj_slots, verb_slots = build_train_batch(
             samples,
@@ -248,6 +276,12 @@ def evaluate_hoi(
         valid = np.zeros((B, H, W), bool)
         for b, im in enumerate(images):
             h, w = im.shape[:2]
+            assert h <= H and w <= W, (
+                f"eval image ({h},{w}) exceeds the fixed bucket ({H},{W}); "
+                "pass a larger `bucket` (val resize is shorter-side-800 / "
+                "max-1333, so (832, 1344) covers it unless the transform "
+                "was changed)"
+            )
             pixels[b, :h, :w] = im
             valid[b, :h, :w] = True
         text_emb = np.tile(feats[None], (B, 1, 1))

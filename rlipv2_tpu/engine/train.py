@@ -75,6 +75,9 @@ def make_train_step(
     accumulation_steps: int = 1,
     deterministic: bool = False,
     state_sharding: Optional["TrainState"] = None,
+    tagger: bool = False,
+    box_noise_scale: float = 0.6,
+    label_noise_scale: float = 0.3,
 ):
     """Returns a jitted train_step(state, batch) -> (state, metrics).
 
@@ -82,9 +85,40 @@ def make_train_step(
     gradient accumulation (reference: engine.py:138-165 with
     BatchIterativeDistributedSampler — one dataset per micro-batch): the
     batch arrays carry a leading (K, ...) micro-batch axis and a lax.scan
-    averages the K gradients before one optimizer update."""
+    averages the K gradients before one optimizer update.
 
-    def loss_fn(params, batch: TrainBatch, rng):
+    tagger=True trains the R-Tagger: `forward_tagger` consumes the GT
+    pairs as DN-noised queries and the slot-aligned `tagger_losses`
+    replace the Hungarian criterion (reference: main.py --verb_tagger,
+    scripts/verb_tagger/train_vg_RLIP_ParSeD_v2_tagger_resnet.sh:14-56
+    with label_noise 0.3 / box_noise 0.6)."""
+
+    def tagger_loss_fn(params, batch: TrainBatch, rng):
+        noise_rng, drop_rng = jax.random.split(rng)
+        out = model.apply(
+            {"params": params},
+            batch.pixels,
+            batch.pixel_valid,
+            batch.text_emb,
+            batch.text_valid,
+            batch.targets,
+            noise_rng,
+            mcfg.max_obj_texts,
+            deterministic=deterministic,
+            box_noise_scale=box_noise_scale,
+            label_noise_scale=label_noise_scale,
+            training=True,
+            method=type(model).forward_tagger,
+            rngs={"dropout": drop_rng},
+        )
+        obj_valid = batch.text_valid[:, : mcfg.max_obj_texts]
+        verb_valid = batch.text_valid[:, mcfg.max_obj_texts :]
+        losses = criterion.tagger_losses(
+            out, batch.targets, obj_valid, verb_valid
+        )
+        return criterion.weighted_total(losses), losses
+
+    def hoi_loss_fn(params, batch: TrainBatch, rng):
         out = model.apply(
             {"params": params},
             batch.pixels,
@@ -122,6 +156,8 @@ def make_train_step(
         )
         total = criterion.weighted_total(losses)
         return total, losses
+
+    loss_fn = tagger_loss_fn if tagger else hoi_loss_fn
 
     def grads_single(params, batch, rng):
         return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)

@@ -6,6 +6,8 @@ set -e
 python main.py \
   --preset rlip_parsed_v2_r50 \
   --dataset_file vg \
+  --verb_tagger \
+  --label_noise_scale 0.3 --box_noise_scale 0.6 \
   --pretrain_anno "$VG_ANNO" --vg_folder "$VG_DIR" \
   --verb_loss_type bce \
   --epochs 20 --lr_drop 15 \
