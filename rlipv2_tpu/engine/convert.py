@@ -396,6 +396,146 @@ def convert_swin(sd: Mapping[str, np.ndarray], spec, prefix: str = "") -> dict:
     return params
 
 
+# COCO category ids used by HICO's 80-object remap, plus the appended
+# background slot (reference: convert_parameters/convert_parameters_DABDDETR.py
+# obj_ids table; datasets/hico.py:46-55 documents the same remap)
+COCO_OBJ_IDS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+    43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+    62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+    85, 86, 87, 88, 89, 90, 91,
+]
+
+
+def coco_class_embed_to_hico(weight: np.ndarray, bias: np.ndarray,
+                             bg_weight=None, bg_bias=None):
+    """Remap a COCO 91-way class head to HICO's 80 objects + no-object
+    slot (reference: convert_parameters_DABDDETR.py:142-147 appends a
+    fresh background row then gathers obj_ids)."""
+    rng = np.random.RandomState(0)
+    if bg_weight is None:
+        bg_weight = (rng.randn(1, weight.shape[1]) / np.sqrt(weight.shape[1])).astype(np.float32)
+    if bg_bias is None:
+        bg_bias = np.zeros((1,), np.float32)
+    w = np.concatenate([weight, bg_weight], axis=0)
+    b = np.concatenate([bias, bg_bias], axis=0)
+    return w[COCO_OBJ_IDS], b[COCO_OBJ_IDS]
+
+
+def merge_param_trees(base: dict, update: dict) -> dict:
+    """Recursively overlay `update` onto `base` (both plain nested dicts);
+    used for partial warm-starts where the detector checkpoint covers only
+    the vision/decoder subtree."""
+    out = dict(base)
+    for k, v in update.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_param_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def convert_dab_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """COCO-pretrained DAB-Deformable-DETR detector checkpoint -> partial
+    RLIPParSeDA warm-start tree.
+
+    Mirrors the reference's key-space surgery
+    (convert_parameters/convert_parameters_DABDDETR.py:91-160): the single
+    detector decoder is duplicated into the ho and verb decoders, the
+    per-layer `transformer.decoder.bbox_embed` clones are duplicated into
+    the sub/obj box heads of both decoders, and `tgt_embed` is duplicated
+    into `verb_tgt_embed`. The plain DDETR encoder layers seed the ALIF
+    encoder's deformable layers (fusion + language params stay at init —
+    the reference pretrain starts them fresh too). Text-side params
+    (text encoder, resizer, projection) are NOT in a detector checkpoint
+    and are left to the caller's init via `merge_param_trees`."""
+    t = cfg.transformer
+    d = t.hidden_dim
+    num_pred = t.dec_layers
+
+    params: dict = {}
+    from rlipv2_tpu.models.resnet import STAGE_BLOCKS
+
+    if any(k.startswith("backbone.0.body.") for k in sd):
+        params["backbone"] = convert_resnet(
+            sd, blocks=STAGE_BLOCKS[cfg.backbone.name],
+            prefix="backbone.0.body.",
+        )
+    for i in range(t.num_feature_levels):
+        if f"input_proj.{i}.0.weight" in sd:
+            params[f"input_proj_{i}"] = {
+                "kernel": sd[f"input_proj.{i}.0.weight"].transpose(2, 3, 1, 0).astype(np.float32),
+                "bias": sd[f"input_proj.{i}.0.bias"].astype(np.float32),
+            }
+            params[f"input_norm_{i}"] = _groupnorm(sd, f"input_proj.{i}.1")
+
+    nq = cfg.num_queries
+    tgt, ref = filter_query_embeddings(
+        sd["tgt_embed.weight"].astype(np.float32),
+        sd["refpoint_embed.weight"].astype(np.float32),
+        nq,
+    )
+    params["tgt_embed"] = tgt
+    params["verb_tgt_embed"] = tgt.copy()  # reference duplicates tgt_embed
+    params["refpoint_embed"] = ref
+    params["level_embed"] = sd["transformer.level_embed"].astype(np.float32)
+
+    # plain DDETR encoder layers -> ALIF deformable layers
+    enc: dict = {}
+    for i in range(t.enc_layers):
+        p = f"transformer.encoder.layers.{i}"
+        if f"{p}.self_attn.value_proj.weight" not in sd:
+            break
+        enc[f"layer_{i}"] = {
+            "self_attn": _msda(sd, f"{p}.self_attn"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+        }
+    if enc:
+        params["encoder"] = enc
+
+    def decoder_from_detector():
+        dec: dict = {}
+        for i in range(t.dec_layers):
+            p = f"transformer.decoder.layers.{i}"
+            dec[f"layer_{i}"] = {
+                "cross_attn": _msda(sd, f"{p}.cross_attn"),
+                "self_attn": _mha(sd, f"{p}.self_attn", d, t.nheads),
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "norm3": _layernorm(sd, f"{p}.norm3"),
+                "linear1": _linear(sd, f"{p}.linear1"),
+                "linear2": _linear(sd, f"{p}.linear2"),
+            }
+        dec["ref_point_head"] = _mlp(sd, "transformer.decoder.ref_point_head", 2)
+        if "transformer.decoder.query_scale.layers.0.weight" in sd:
+            dec["query_scale"] = _mlp(sd, "transformer.decoder.query_scale", 2)
+        # per-layer detector box heads -> sub AND obj clones
+        for l in range(num_pred):
+            src = (
+                f"transformer.decoder.bbox_embed.{l}"
+                if f"transformer.decoder.bbox_embed.{l}.layers.0.weight" in sd
+                else f"bbox_embed.{l}"
+            )
+            if f"{src}.layers.0.weight" in sd:
+                head = _mlp(sd, src, 3)
+                dec[f"sub_bbox_embed_{l}"] = head
+                dec[f"obj_bbox_embed_{l}"] = {
+                    k: dict(v) for k, v in head.items()
+                }
+        return dec
+
+    dec = decoder_from_detector()
+    params["ho_decoder"] = dec
+    params["verb_decoder"] = {
+        k: (dict(v) if isinstance(v, dict) else v) for k, v in dec.items()
+    }
+    return params
+
+
 def filter_query_embeddings(
     tgt: np.ndarray, refpoint: np.ndarray, num_queries: int
 ) -> tuple[np.ndarray, np.ndarray]:
