@@ -110,6 +110,134 @@ def tag_image(
     return relationships
 
 
+def _build_row(boxes, labels, pairs, rel_texts, object_texts, text_encoder,
+               cfg):
+    """One (image, candidate-group) row: padded targets + text slots.
+    Returns (targets_np dict, text_emb, text_valid, n_pairs, rel_texts)."""
+    M = cfg.num_queries // 2
+    n_obj_slots = cfg.max_obj_texts
+    n_verb_slots = cfg.max_verb_texts
+    pairs = pairs[:M]
+    rel_texts = list(rel_texts)[:n_verb_slots]
+    sub_idx = [s for s, _ in pairs]
+    obj_idx = [o for _, o in pairs]
+    n = len(pairs)
+
+    targets = {
+        "obj_labels": np.pad(labels[obj_idx], (0, M - n)).astype(np.int32),
+        "sub_labels": np.pad(labels[sub_idx], (0, M - n)).astype(np.int32),
+        "verb_labels": np.zeros((M, n_verb_slots), np.float32),
+        "sub_boxes": np.pad(boxes[sub_idx], ((0, M - n), (0, 0))).astype(np.float32),
+        "obj_boxes": np.pad(boxes[obj_idx], ((0, M - n), (0, 0))).astype(np.float32),
+        "valid": np.arange(M) < n,
+    }
+    obj_slots = list(object_texts) + [""] * (
+        n_obj_slots - 1 - len(object_texts)
+    ) + ["no objects"]
+    verb_slots = rel_texts + [""] * (n_verb_slots - len(rel_texts))
+    feats = text_encoder([t if t else "." for t in obj_slots + verb_slots])
+    text_valid = np.zeros(n_obj_slots + n_verb_slots, bool)
+    text_valid[: len(object_texts)] = True
+    text_valid[n_obj_slots - 1] = True
+    text_valid[n_obj_slots : n_obj_slots + len(rel_texts)] = True
+    return targets, np.asarray(feats), text_valid, n, rel_texts, sub_idx, obj_idx
+
+
+def tag_rows_batched(
+    tagger_apply,
+    params,
+    rows: Sequence[dict],  # each: pixels, boxes, labels, pairs, rel_texts,
+    #                               object_texts, out (list to append to)
+    text_encoder,
+    cfg,
+    relation_threshold: float,
+    batch_size: int = 8,
+) -> None:
+    """Score (image, candidate-group) rows in fixed-size padded batches —
+    ONE jitted forward per batch of rows instead of one per group
+    (VERDICT r2 item 8; the reference batches image groups the same way,
+    generate_relations_using_verb_tagger.py:554-700). With ALIF fusion the
+    text set is fused into the image encoding, so exact equivalence with
+    the per-group path requires one batch ROW per group — batching trades
+    dispatch/compile count, and rows of different images share the step.
+
+    Results append to each row's `out` list in place."""
+    if not rows:
+        return
+    for start in range(0, len(rows), batch_size):
+        chunk = rows[start : start + batch_size]
+        B = len(chunk)
+        pad_to = batch_size  # static batch: wrap-pad with the first row
+        built = [
+            _build_row(
+                r["boxes"], r["labels"], r["pairs"], r["rel_texts"],
+                r["object_texts"], text_encoder, cfg,
+            )
+            for r in chunk
+        ]
+        Hm = max(r["pixels"].shape[0] for r in chunk)
+        Wm = max(r["pixels"].shape[1] for r in chunk)
+        pixels = np.zeros((pad_to, Hm, Wm, 3), np.float32)
+        valid = np.zeros((pad_to, Hm, Wm), bool)
+        for b, r in enumerate(chunk):
+            h, w = r["pixels"].shape[:2]
+            pixels[b, :h, :w] = r["pixels"]
+            valid[b, :h, :w] = True
+        for b in range(B, pad_to):  # wrap-pad
+            pixels[b] = pixels[0]
+            valid[b] = valid[0]
+
+        def stack(key, dtype=None):
+            a = np.stack([t[0][key] for t in built])
+            if a.shape[0] < pad_to:
+                a = np.concatenate(
+                    [a, np.repeat(a[:1], pad_to - a.shape[0], axis=0)]
+                )
+            return a if dtype is None else a.astype(dtype)
+
+        targets = HOITargets(
+            obj_labels=jnp.asarray(stack("obj_labels")),
+            sub_labels=jnp.asarray(stack("sub_labels")),
+            verb_labels=jnp.asarray(stack("verb_labels")),
+            sub_boxes=jnp.asarray(stack("sub_boxes")),
+            obj_boxes=jnp.asarray(stack("obj_boxes")),
+            valid=jnp.asarray(stack("valid")),
+        )
+        text_emb = np.stack([t[1] for t in built])
+        text_val = np.stack([t[2] for t in built])
+        if B < pad_to:
+            text_emb = np.concatenate(
+                [text_emb, np.repeat(text_emb[:1], pad_to - B, axis=0)]
+            )
+            text_val = np.concatenate(
+                [text_val, np.repeat(text_val[:1], pad_to - B, axis=0)]
+            )
+
+        out = tagger_apply(
+            params, jnp.asarray(pixels), jnp.asarray(valid),
+            jnp.asarray(text_emb), jnp.asarray(text_val), targets,
+        )
+        conf_all = np.asarray(
+            jax.nn.sigmoid(out["pred_verb_logits"].astype(np.float32))
+        )
+        for b, (r, (tgt, _, _, n, rel_texts, sub_idx, obj_idx)) in enumerate(
+            zip(chunk, built)
+        ):
+            conf = conf_all[b]
+            for p in range(n):
+                for ri, rel in enumerate(rel_texts):
+                    c = float(conf[p, ri])
+                    if c >= relation_threshold:
+                        r["out"].append(
+                            {
+                                "subject_id": int(sub_idx[p]),
+                                "object_id": int(obj_idx[p]),
+                                "predicate": rel,
+                                "confidence": c,
+                            }
+                        )
+
+
 def generate_pseudo_annotations(
     model,
     params,
@@ -119,8 +247,13 @@ def generate_pseudo_annotations(
     relation_threshold: float = 0.2,
     dataset_name: Optional[str] = None,
     max_images: Optional[int] = None,
+    batch_size: int = 8,
 ) -> list:
-    """Run the tagger over a dataset -> VG-format annotation list."""
+    """Run the tagger over a dataset -> VG-format annotation list.
+
+    All candidate groups of all images are flattened into rows and scored
+    in fixed-size batched forwards (tag_rows_batched) — one model call per
+    `batch_size` groups, not one per group."""
     from rlipv2_tpu.models.parseda import RLIPParSeDA
 
     tagger_apply = jax.jit(
@@ -131,24 +264,39 @@ def generate_pseudo_annotations(
     )
 
     annos = []
+    rows = []
+    per_image_rels = []
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     for i in range(n):
         img, target = dataset[i]
+        rels: list = []
+        per_image_rels.append(rels)
+        boxes = np.asarray(target["boxes"])
+        labels = np.asarray(target["labels"])
+        obj_texts = target.get("object_texts", dataset.object_names)
+        for pairs, rel_texts in target["relation_candidates"]:
+            if not pairs or not rel_texts:
+                continue
+            rows.append(
+                {
+                    "pixels": img,
+                    "boxes": boxes,
+                    "labels": labels,
+                    "pairs": pairs,
+                    "rel_texts": rel_texts,
+                    "object_texts": obj_texts,
+                    "out": rels,
+                }
+            )
+    tag_rows_batched(
+        tagger_apply, params, rows, text_encoder, cfg, relation_threshold,
+        batch_size=batch_size,
+    )
+
+    for i in range(n):
+        img, target = dataset[i]
         h, w = img.shape[:2]
-        valid = np.ones((h, w), bool)
-        rels = tag_image(
-            tagger_apply,
-            params,
-            img,
-            valid,
-            np.asarray(target["boxes"]),
-            np.asarray(target["labels"]),
-            target["relation_candidates"],
-            target.get("object_texts", dataset.object_names),
-            text_encoder,
-            cfg,
-            relation_threshold,
-        )
+        rels = per_image_rels[i]
         x0y0 = None  # boxes stay normalized cxcywh; convert to VG xywh px
         objects = []
         for oid, (b, l) in enumerate(zip(target["boxes"], target["labels"])):
