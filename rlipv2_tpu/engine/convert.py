@@ -536,6 +536,180 @@ def convert_dab_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def convert_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """COCO-pretrained (plain) Deformable-DETR detector checkpoint ->
+    partial RLIPParSeD warm-start tree.
+
+    Reference surgery (convert_parameters/convert_parameters_DDETR.py:91-126):
+    the single detector decoder is duplicated into ho and verb decoders and
+    the per-layer `bbox_embed` clones seed BOTH the sub and obj box heads;
+    here the box heads are the model's top-level `sub/obj_bbox_embed_{l}`
+    (RLIPParSeD keeps refinement outside the decoder). The detector's
+    2-d `transformer.reference_points` linear seeds both
+    `reference_points_sub` and `reference_points_obj`, and `query_embed`
+    ([query_pos || tgt], nq x 2C) is tiled/truncated to num_queries with
+    the first half repeated for the sub/obj split (reference
+    convert_parameters.py:151-152 semantics)."""
+    t = cfg.transformer
+    d = t.hidden_dim
+    params: dict = {}
+    from rlipv2_tpu.models.resnet import STAGE_BLOCKS
+
+    if any(k.startswith("backbone.0.body.") for k in sd):
+        params["backbone"] = convert_resnet(
+            sd, blocks=STAGE_BLOCKS[cfg.backbone.name],
+            prefix="backbone.0.body.",
+        )
+    for i in range(t.num_feature_levels):
+        if f"input_proj.{i}.0.weight" in sd:
+            params[f"input_proj_{i}"] = {
+                "kernel": sd[f"input_proj.{i}.0.weight"].transpose(2, 3, 1, 0).astype(np.float32),
+                "bias": sd[f"input_proj.{i}.0.bias"].astype(np.float32),
+            }
+            params[f"input_norm_{i}"] = _groupnorm(sd, f"input_proj.{i}.1")
+    if "transformer.level_embed" in sd:
+        params["level_embed"] = sd["transformer.level_embed"].astype(np.float32)
+
+    nq = cfg.num_queries
+    qe = sd["query_embed.weight"].astype(np.float32)  # (nq_ckpt, 2C)
+    half = np.concatenate([qe[: nq // 2], qe[: nq // 2]], axis=0)
+    if half.shape[0] < nq:  # checkpoint smaller than nq//2: tile
+        reps = -(-nq // half.shape[0])
+        half = np.tile(half, (reps, 1))[:nq]
+    params["query_embed"] = half
+
+    rp = _linear(sd, "transformer.reference_points")
+    params["reference_points_sub"] = rp
+    params["reference_points_obj"] = {k: v.copy() for k, v in rp.items()}
+
+    enc: dict = {}
+    for i in range(t.enc_layers):
+        p = f"transformer.encoder.layers.{i}"
+        if f"{p}.self_attn.value_proj.weight" not in sd:
+            break
+        enc[f"layer_{i}"] = {
+            "self_attn": _msda(sd, f"{p}.self_attn"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+        }
+    if enc:
+        params["encoder"] = enc
+
+    dec: dict = {}
+    for i in range(t.dec_layers):
+        p = f"transformer.decoder.layers.{i}"
+        dec[f"layer_{i}"] = {
+            "cross_attn": _msda(sd, f"{p}.cross_attn"),
+            "self_attn": _mha(sd, f"{p}.self_attn", d, t.nheads),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "norm3": _layernorm(sd, f"{p}.norm3"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+        }
+    params["ho_decoder_nd"] = dec
+    params["verb_decoder_nd"] = {
+        k: {kk: dict(vv) for kk, vv in v.items()} for k, v in dec.items()
+    }
+
+    # per-layer detector box heads -> top-level sub/obj clones
+    for l in range(t.dec_layers):
+        src = (
+            f"transformer.decoder.bbox_embed.{l}"
+            if f"transformer.decoder.bbox_embed.{l}.layers.0.weight" in sd
+            else f"bbox_embed.{l}"
+        )
+        if f"{src}.layers.0.weight" not in sd and "bbox_embed.layers.0.weight" in sd:
+            src = "bbox_embed"  # shared (no box-refine) checkpoints
+        if f"{src}.layers.0.weight" in sd:
+            head = _mlp(sd, src, 3)
+            params[f"sub_bbox_embed_{l}"] = head
+            params[f"obj_bbox_embed_{l}"] = {
+                k: dict(v) for k, v in head.items()
+            }
+    return params
+
+
+def convert_detr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """COCO-pretrained vanilla DETR (or MDETR) checkpoint -> partial
+    RLIPParSeV1Joint warm-start tree.
+
+    Reference surgery (convert_parameters/convert_parameters.py:129-141 and
+    convert_MDETR_to_RLIP.py:143-152, both live paths): the single decoder
+    is duplicated into the ho and verb decoders, the box head is cloned
+    into sub/obj heads, and `query_embed` keeps its first nq/2 rows twice
+    (the sub/obj halves start identical). Dense encoder layers map 1:1;
+    the decoder's image cross-attention comes from DETR's `multihead_attn`
+    (MDETR names it `cross_attn_image` — both accepted)."""
+    t = cfg.transformer
+    d = t.hidden_dim
+    params: dict = {}
+    from rlipv2_tpu.models.resnet import STAGE_BLOCKS
+
+    if any(k.startswith("backbone.0.body.") for k in sd):
+        # RLIPParSeV1Joint builds its ResNet inline (auto-scope ResNet_0)
+        params["ResNet_0"] = convert_resnet(
+            sd, blocks=STAGE_BLOCKS[cfg.backbone.name],
+            prefix="backbone.0.body.",
+        )
+    if "input_proj.weight" in sd:  # 1x1 conv == dense over channels
+        params["input_proj"] = {
+            "kernel": sd["input_proj.weight"][:, :, 0, 0].T.astype(np.float32),
+            "bias": sd["input_proj.bias"].astype(np.float32),
+        }
+
+    nq = cfg.num_queries
+    qe = sd["query_embed.weight"].astype(np.float32)
+    params["query_embed"] = np.concatenate(
+        [qe[: nq // 2], qe[: nq // 2]], axis=0
+    )[:nq]
+
+    for i in range(t.enc_layers):
+        p = f"transformer.encoder.layers.{i}"
+        if f"{p}.self_attn.in_proj_weight" not in sd:
+            break
+        params[f"enc_{i}"] = {
+            "self_attn": _mha(sd, f"{p}.self_attn", d, t.nheads),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+        }
+
+    for name in ("ho", "verb"):
+        for i in range(t.dec_layers):
+            p = f"transformer.decoder.layers.{i}"
+            ca = (
+                f"{p}.cross_attn_image"
+                if f"{p}.cross_attn_image.in_proj_weight" in sd
+                else f"{p}.multihead_attn"
+            )
+            # MDETR layers number their norms 1/3/4 (2 is the text slot)
+            n2 = f"{p}.norm3" if f"{p}.norm4.weight" in sd else f"{p}.norm2"
+            n3 = f"{p}.norm4" if f"{p}.norm4.weight" in sd else f"{p}.norm3"
+            params[f"{name}_dec_{i}"] = {
+                "self_attn": _mha(sd, f"{p}.self_attn", d, t.nheads),
+                "cross_attn": _mha(sd, ca, d, t.nheads),
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, n2),
+                "norm3": _layernorm(sd, n3),
+                "linear1": _linear(sd, f"{p}.linear1"),
+                "linear2": _linear(sd, f"{p}.linear2"),
+            }
+        if "transformer.decoder.norm.weight" in sd:
+            params[f"{name}_decoder_norm"] = _layernorm(
+                sd, "transformer.decoder.norm"
+            )
+
+    if "bbox_embed.layers.0.weight" in sd:
+        head = _mlp(sd, "bbox_embed", 3)
+        params["sub_bbox_embed"] = head
+        params["obj_bbox_embed"] = {k: dict(v) for k, v in head.items()}
+    return params
+
+
 def filter_query_embeddings(
     tgt: np.ndarray, refpoint: np.ndarray, num_queries: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -178,6 +178,54 @@ class SetCriterionHOI:
         num_pos = ((gt > 0).astype(pred.dtype) * mask).sum()
         return jnp.where(num_pos > 0, -loss.sum() / jnp.maximum(num_pos, 1.0), -loss.sum())
 
+    def loss_verb_hm(self, outputs, gt_verb_hm):
+        """CornerNet focal between the predicted verb heatmap and per-image
+        GT heatmaps nearest-resized onto each image's valid region
+        (reference models/hoi.py:4244-4258 loss_verb_hm; the dynamic
+        per-image `F.interpolate(gt, (valid_1, valid_2))` + crop is
+        re-expressed as a static-shape nearest gather over the full grid
+        with the pad region masked — TPU-friendly, same values).
+
+        outputs['verb_hm'] = (pred (B, C, h, w) sigmoid probs,
+        pad_mask (B, h, w) True = padding); gt_verb_hm (B, C, Hg, Wg)."""
+        pred, pad = outputs["verb_hm"]
+        pred = pred.astype(jnp.float32)
+        gt_verb_hm = gt_verb_hm.astype(jnp.float32)
+        B, C, h, w = pred.shape
+        Hg, Wg = gt_verb_hm.shape[2], gt_verb_hm.shape[3]
+        valid_1 = jnp.sum(~pad[:, :, 0], axis=1)  # (B,)
+        valid_2 = jnp.sum(~pad[:, 0, :], axis=1)
+        iy = jnp.arange(h)[None, :]
+        ix = jnp.arange(w)[None, :]
+        gy = jnp.clip(
+            (iy * Hg // jnp.maximum(valid_1[:, None], 1)), 0, Hg - 1
+        )
+        gx = jnp.clip(
+            (ix * Wg // jnp.maximum(valid_2[:, None], 1)), 0, Wg - 1
+        )
+        gt = jax.vmap(lambda g, y, x: g[:, y][:, :, x])(
+            gt_verb_hm, gy, gx
+        )  # (B, C, h, w)
+        region = (
+            (iy < valid_1[:, None])[:, None, :, None]
+            & (ix < valid_2[:, None])[:, None, None, :]
+        ).astype(jnp.float32)
+
+        eps = 1e-6
+        p = jnp.clip(pred, eps, 1.0 - eps)
+        pos = (gt == 1).astype(jnp.float32) * region
+        neg = (gt < 1).astype(jnp.float32) * region
+        pos_loss = jnp.log(p) * (1 - p) ** 2 * pos
+        neg_loss = jnp.log(1 - p) * p**2 * (1 - gt) ** 4 * neg
+        num_pos = pos.sum(axis=(1, 2, 3))  # per image, as the reference
+        per_img = jnp.where(
+            num_pos > 0,
+            -(pos_loss.sum(axis=(1, 2, 3)) + neg_loss.sum(axis=(1, 2, 3)))
+            / jnp.maximum(num_pos, 1.0),
+            -neg_loss.sum(axis=(1, 2, 3)),
+        )
+        return {"loss_verb_hm": per_img.sum()}
+
     def _verb_loss(
         self, verb_logits, match, targets, verb_valid, costs: MatchCosts,
         target_verb_sim=None, curing_score=None,

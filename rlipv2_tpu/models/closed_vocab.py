@@ -1139,3 +1139,146 @@ class QAHOITwoStageModel(QAHOIModel):
             "proposal_valid": keep,
         }
         return out
+
+
+class IterativeDETRHOIModel(QPICModel):
+    """IterativeTransformer-backed DETRHOI (reference
+    models/transformer.py:545-609, built via --IterativeDETRHOI at
+    transformer.py:1114-1125): QPIC plus a 4-d `reference_points` linear
+    over the query embeddings. The reference's DETRHOI wrapper consumes
+    only the decoder states (models/hoi.py:3563 indexes `[0]`), leaving
+    the reference points vestigial; they are exposed as `ref_points`
+    (raw linear outputs, reference transformer.py:602) for parity."""
+
+    def setup(self):
+        super().setup()
+        self.reference_points = nn.Dense(
+            4, dtype=self.compute_dtype, name="reference_points"
+        )
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        out = super().__call__(pixels, pixel_valid, deterministic)
+        qe = self.query_embed.astype(self.compute_dtype)
+        rp = self.reference_points(qe).astype(jnp.float32)  # (nq, 4)
+        out["ref_points"] = jnp.broadcast_to(
+            rp[None], (pixels.shape[0],) + rp.shape
+        )
+        return out
+
+
+def _bilinear_sample_2d(x, py, px):
+    """x (B, h, w, C); py/px (B, h, w) fractional positions -> (B, h, w, C)
+    with zeros outside (torchvision DeformConv2d zero-padding semantics)."""
+    B, h, w, C = x.shape
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = (px - x0)[..., None]
+    fy = (py - y0)[..., None]
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        g = x[
+            jnp.arange(B)[:, None, None],
+            jnp.clip(yi, 0, h - 1),
+            jnp.clip(xi, 0, w - 1),
+        ]
+        return jnp.where(valid[..., None], g, 0.0)
+
+    return (
+        tap(y0, x0) * (1 - fx) * (1 - fy)
+        + tap(y0, x0 + 1) * fx * (1 - fy)
+        + tap(y0 + 1, x0) * (1 - fx) * fy
+        + tap(y0 + 1, x0 + 1) * fx * fy
+    )
+
+
+class DETRHOIhmModel(QPICModel):
+    """Transformerhm-backed DETRHOI (reference models/transformer.py:611-678,
+    built via --DETRHOIhm at transformer.py:1126-1137): the encoder memory
+    feeds a heatmap branch — 3x3 conv + relu, an offset-predicting 3x3 conv,
+    and a 3x3 deformable conv (torchvision DeformConv2d; here expressed as
+    nine bilinear taps, the TPU-friendly gather formulation) — whose
+    sigmoid heatmap seeds the decoder: the top-num_queries locations'
+    deformed features become the query position embeddings (tgt zeros).
+    Output carries `verb_hm` = (heatmap (B, n_hm, h, w), mask) consumed by
+    criterion.loss_verb_hm (reference models/hoi.py:4244-4258)."""
+
+    num_hm_classes: int = 1
+
+    def setup(self):
+        super().setup()
+        t = self.cfg.transformer
+        dt = self.compute_dtype
+        d = t.hidden_dim
+        self.hm_conv = nn.Conv(d, (3, 3), padding=1, dtype=dt, name="hm_conv")
+        self.hm_off = nn.Conv(18, (3, 3), padding=1, dtype=dt, name="hm_off")
+        self.hm_embed = nn.Dense(self.num_hm_classes, dtype=dt,
+                                 name="hm_embed")
+        # deformable 3x3 kernel, torch conv layout transposed to
+        # (tap, C_in, C_out) for per-tap matmuls
+        self.hm_deform_kernel = self.param(
+            "hm_deform_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (9, d, d), jnp.float32,
+        )
+        self.hm_deform_bias = self.param(
+            "hm_deform_bias", nn.initializers.zeros, (d,), jnp.float32
+        )
+
+    def _deform_conv3x3(self, x, off):
+        B, h, w, C = x.shape
+        gy, gx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        out = jnp.zeros_like(x)
+        k = 0
+        W = self.hm_deform_kernel.astype(x.dtype)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                py = gy[None] + dy + off[..., 2 * k]
+                px = gx[None] + dx + off[..., 2 * k + 1]
+                out = out + _bilinear_sample_2d(x, py, px) @ W[k]
+                k += 1
+        return out + self.hm_deform_bias.astype(x.dtype)
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
+
+        feat = self.backbone(pixels.astype(dt))[-1]
+        h, w = feat.shape[1], feat.shape[2]
+        mem2d = memory.reshape(B, h, w, t.hidden_dim)
+        hm_feat = nn.relu(self.hm_conv(mem2d))
+        off = self.hm_off(hm_feat).astype(jnp.float32)
+        deform_feat = self._deform_conv3x3(hm_feat, off)  # (B, h, w, C)
+
+        verb_hm = jax.nn.sigmoid(
+            self.hm_embed(hm_feat).astype(jnp.float32)
+        )  # (B, h, w, n_hm)
+        # _topk with n_hm=1 == plain top-K over the spatial map
+        # (reference models/decode.py:74-90)
+        flat_hm = verb_hm.max(axis=-1).reshape(B, h * w)
+        masked_hm = jnp.where(valid, flat_hm, -1.0)
+        # k clamped statically to the map size (real inputs have
+        # h*w >> nq; tiny maps tile the top locations round-robin)
+        k = min(c.num_queries, h * w)
+        _, inds = jax.lax.top_k(masked_hm, k)
+        if k < c.num_queries:
+            inds = jnp.tile(inds, (1, -(-c.num_queries // k)))[:, : c.num_queries]
+        qpos = jnp.take_along_axis(
+            deform_feat.reshape(B, h * w, t.hidden_dim),
+            inds[..., None], axis=1,
+        ).astype(dt)
+
+        tgt = jnp.zeros_like(qpos)
+        hs = []
+        for layer in self.dec_layers:
+            tgt = layer(tgt, qpos, memory, pos, valid, deterministic)
+            hs.append(tgt)
+        out = self.heads(jnp.stack(hs))
+        out["verb_hm"] = (
+            verb_hm.transpose(0, 3, 1, 2),  # (B, n_hm, h, w) torch layout
+            ~downsample_mask(pixel_valid, h, w),
+        )
+        return out

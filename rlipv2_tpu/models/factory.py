@@ -66,6 +66,16 @@ def build_model(cfg: ModelConfig):
             "seq_detr_hoi": SeqDETRHOIModel,
             "stochastic_detr_hoi": StochasticDETRHOIModel,
         }[v](cfg)
+    if v in ("iterative_detr_hoi", "detr_hoi_hm"):
+        from rlipv2_tpu.models.closed_vocab import (
+            DETRHOIhmModel,
+            IterativeDETRHOIModel,
+        )
+
+        return {
+            "iterative_detr_hoi": IterativeDETRHOIModel,
+            "detr_hoi_hm": DETRHOIhmModel,
+        }[v](cfg)
     if v == "qahoi_two_stage":
         from rlipv2_tpu.models.closed_vocab import QAHOITwoStageModel
 

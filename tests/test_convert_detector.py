@@ -170,3 +170,158 @@ def test_coco_class_embed_remap():
     assert not any(
         np.array_equal(w2[-1], w[i]) for i in range(91)
     )
+
+
+def test_ddetr_detector_warm_start_forward():
+    """Plain Deformable-DETR checkpoint -> RLIPParSeD partial tree
+    (reference convert_parameters/convert_parameters_DDETR.py:91-126):
+    decoder duplicated into ho/verb, per-layer bbox heads cloned to the
+    top-level sub/obj heads, reference_points linear duplicated, 2C query
+    embed split-tiled."""
+    from rlipv2_tpu.engine.convert import convert_ddetr_detector
+    from rlipv2_tpu.models.parsed import RLIPParSeD
+
+    cfg = tiny_config()
+    d = cfg.transformer.hidden_dim
+    sd = synth_detector_sd(
+        d=d, nheads=cfg.transformer.nheads,
+        enc=cfg.transformer.enc_layers, dec=cfg.transformer.dec_layers,
+    )
+    # DDETR key space: 2C query embed + reference_points, no DAB extras
+    for k in list(sd):
+        if "ref_point_head" in k or "query_scale" in k:
+            del sd[k]
+    del sd["tgt_embed.weight"], sd["refpoint_embed.weight"]
+    sd["query_embed.weight"] = _w(32, 2 * d)
+    sd["transformer.reference_points.weight"] = _w(2, d)
+    sd["transformer.reference_points.bias"] = _w(2)
+
+    partial = convert_ddetr_detector(sd, cfg)
+    assert partial["query_embed"].shape == (cfg.num_queries, 2 * d)
+    np.testing.assert_array_equal(
+        partial["reference_points_sub"]["kernel"],
+        partial["reference_points_obj"]["kernel"],
+    )
+    np.testing.assert_array_equal(
+        partial["sub_bbox_embed_0"]["layers_0"]["kernel"],
+        partial["obj_bbox_embed_0"]["layers_0"]["kernel"],
+    )
+    assert "layer_0" in partial["ho_decoder_nd"]
+    assert "layer_0" in partial["verb_decoder_nd"]
+
+    model = RLIPParSeD(cfg)
+    B, H, W = 1, 64, 64
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, H, W, 3)), jnp.ones((B, H, W), bool),
+        jnp.zeros((B, T, cfg.text_encoder.hidden_size)),
+        jnp.ones((B, T), bool), cfg.max_obj_texts,
+    )
+    merged = merge_param_trees(dict(init["params"]), partial)
+    out = model.apply(
+        {"params": merged},
+        jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        jnp.ones((B, H, W), bool),
+        jnp.asarray(rng.randn(B, T, cfg.text_encoder.hidden_size).astype(np.float32)),
+        jnp.ones((B, T), bool),
+        cfg.max_obj_texts,
+    )
+    for k in ("pred_obj_logits", "pred_verb_logits", "pred_sub_boxes",
+              "pred_obj_boxes"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def synth_detr_sd(d=64, nheads=4, enc=2, dec=2, nq_det=32):
+    """Vanilla DETR official key space at tiny dims (dense attention)."""
+    sd = {}
+
+    def lin(name, o, i):
+        sd[name + ".weight"] = _w(o, i)
+        sd[name + ".bias"] = _w(o)
+
+    def mha(p):
+        sd[p + ".in_proj_weight"] = _w(3 * d, d)
+        sd[p + ".in_proj_bias"] = _w(3 * d)
+        lin(p + ".out_proj", d, d)
+
+    def norms(p, names):
+        for n in names:
+            sd[p + f".{n}.weight"] = 1 + _w(d)
+            sd[p + f".{n}.bias"] = _w(d)
+
+    sd["input_proj.weight"] = _w(d, 2048, 1, 1)
+    sd["input_proj.bias"] = _w(d)
+    sd["query_embed.weight"] = _w(nq_det, d)
+    for i in range(enc):
+        p = f"transformer.encoder.layers.{i}"
+        mha(p + ".self_attn")
+        norms(p, ("norm1", "norm2"))
+        lin(p + ".linear1", 2 * d, d)
+        lin(p + ".linear2", d, 2 * d)
+    for i in range(dec):
+        p = f"transformer.decoder.layers.{i}"
+        mha(p + ".self_attn")
+        mha(p + ".multihead_attn")
+        norms(p, ("norm1", "norm2", "norm3"))
+        lin(p + ".linear1", 2 * d, d)
+        lin(p + ".linear2", d, 2 * d)
+    sd["transformer.decoder.norm.weight"] = 1 + _w(d)
+    sd["transformer.decoder.norm.bias"] = _w(d)
+    lin("bbox_embed.layers.0", d, d)
+    lin("bbox_embed.layers.1", d, d)
+    lin("bbox_embed.layers.2", 4, d)
+    lin("class_embed", 92, d)
+    return sd
+
+
+def test_detr_detector_warm_start_forward():
+    """Vanilla DETR checkpoint -> RLIPParSeV1Joint partial tree (reference
+    convert_parameters/convert_parameters.py:129-141: decoder duplicated
+    into ho/verb, bbox head cloned to sub/obj, query embed first-half
+    repeated)."""
+    import dataclasses as _dc
+
+    from rlipv2_tpu.engine.convert import convert_detr_detector
+    from rlipv2_tpu.models.mdetr import RLIPParSeV1Joint
+
+    cfg = tiny_config()
+    d = cfg.transformer.hidden_dim
+    sd = synth_detr_sd(
+        d=d, nheads=cfg.transformer.nheads,
+        enc=cfg.transformer.enc_layers, dec=cfg.transformer.dec_layers,
+    )
+    partial = convert_detr_detector(sd, cfg)
+    nq = cfg.num_queries
+    np.testing.assert_array_equal(
+        partial["query_embed"][: nq // 2], partial["query_embed"][nq // 2 :]
+    )
+    assert "ho_dec_0" in partial and "verb_dec_0" in partial
+    np.testing.assert_array_equal(
+        partial["ho_dec_0"]["cross_attn"]["query"]["kernel"],
+        partial["verb_dec_0"]["cross_attn"]["query"]["kernel"],
+    )
+    np.testing.assert_array_equal(
+        partial["sub_bbox_embed"]["layers_0"]["kernel"],
+        partial["obj_bbox_embed"]["layers_0"]["kernel"],
+    )
+
+    model = RLIPParSeV1Joint(cfg)
+    B, H, W = 1, 64, 64
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, H, W, 3)), jnp.ones((B, H, W), bool),
+        jnp.zeros((B, T, 768)), jnp.ones((B, T), bool),
+    )
+    merged = merge_param_trees(dict(init["params"]), partial)
+    out = model.apply(
+        {"params": merged},
+        jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        jnp.ones((B, H, W), bool),
+        jnp.asarray(rng.randn(B, T, 768).astype(np.float32)),
+        jnp.ones((B, T), bool),
+    )
+    for k in ("pred_obj_logits", "pred_verb_logits", "pred_sub_boxes",
+              "pred_obj_boxes"):
+        assert np.isfinite(np.asarray(out[k])).all(), k

@@ -324,3 +324,47 @@ def test_rlip_parse_v1_joint():
     assert type(model).__name__ == "RLIPParSeV1Joint"
     out = run_forward(model, cfg)
     check(out, cfg)
+
+
+def test_iterative_and_heatmap_detrhoi():
+    """IterativeDETRHOI (vestigial 4-d ref points, reference
+    transformer.py:545-609) and DETRHOIhm (heatmap-seeded queries +
+    verb_hm output, reference transformer.py:611-678) forward + the
+    heatmap focal loss (reference models/hoi.py:4244-4258)."""
+    from rlipv2_tpu.losses import SetCriterionHOI
+    from rlipv2_tpu.config import LossConfig
+    from rlipv2_tpu.models.closed_vocab import (
+        DETRHOIhmModel,
+        IterativeDETRHOIModel,
+    )
+
+    cfg = dataclasses.replace(tiny_config(), variant="iterative_detr_hoi")
+    nq = cfg.num_queries
+    out = run_closed_vocab(IterativeDETRHOIModel(cfg), cfg)
+    check_closed(out, cfg, nq)
+    assert out["ref_points"].shape == (1, nq, 4)
+    from rlipv2_tpu.models.factory import build_model
+
+    assert isinstance(build_model(cfg), IterativeDETRHOIModel)
+
+    cfg = dataclasses.replace(tiny_config(), variant="detr_hoi_hm")
+    model = DETRHOIhmModel(cfg)
+    B, H, W = 1, 64, 64
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    valid = np.ones((B, H, W), bool)
+    valid[:, 48:, :] = False  # padded bottom quarter
+    valid = jnp.asarray(valid)
+    params = model.init(jax.random.PRNGKey(0), pixels, valid)
+    out = model.apply(params, pixels, valid)
+    check_closed(out, cfg, nq)
+    hm, pad = out["verb_hm"]
+    assert hm.shape[0] == B and hm.shape[1] == 1
+    assert np.asarray(hm).min() >= 0 and np.asarray(hm).max() <= 1
+    # heatmap focal loss on a synthetic GT with a couple of peaks
+    gt = np.zeros((B, 1, 32, 32), np.float32)
+    gt[:, :, 5, 7] = 1.0
+    gt[:, :, 20, 12] = 0.6
+    crit = SetCriterionHOI(LossConfig())
+    loss = crit.loss_verb_hm(out, jnp.asarray(gt))["loss_verb_hm"]
+    assert np.isfinite(float(loss)) and float(loss) > 0
