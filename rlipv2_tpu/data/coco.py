@@ -37,8 +37,9 @@ import numpy as np
 def _load_image(path):
     from PIL import Image
 
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"))  # uint8, HOITransform input
+    im = Image.open(path)
+    im.load()
+    return im if im.mode == "RGB" else im.convert("RGB")  # HOITransform input
 
 
 class CocoDetectionDataset:
@@ -113,7 +114,7 @@ class CocoDetectionDataset:
     def __getitem__(self, idx: int):
         image_id = self.ids[idx]
         img = _load_image(self._path(image_id))
-        h, w = img.shape[:2]
+        w, h = img.size
         target = self._target(image_id, h, w)
         if self.transforms is not None:
             from rlipv2_tpu.data.transforms import normalize_boxes
@@ -124,6 +125,8 @@ class CocoDetectionDataset:
             target["boxes"] = normalize_boxes(
                 target["boxes"], img.shape[0], img.shape[1]
             )
+        else:
+            img = np.asarray(img)  # no-transform contract stays numpy
         return img, target
 
 

@@ -58,7 +58,9 @@ def make_hoi_batch(
     wmax = max(im.shape[1] for im in images)
     H, W = bucket or pick_bucket(hmax, wmax, buckets)
 
-    pixels = np.zeros((B, H, W, 3), np.float32)
+    # follow the image dtype: uint8 images (HOITransform(normalize=False))
+    # stay uint8 through collate + transfer and normalize on device
+    pixels = np.zeros((B, H, W, 3), np.asarray(images[0]).dtype)
     valid = np.zeros((B, H, W), bool)
     obj_labels = np.zeros((B, max_triplets), np.int64)
     sub_labels = np.zeros((B, max_triplets), np.int64)

@@ -61,7 +61,7 @@ class HICODataset:
         self.transforms = (
             transforms
             if transforms is not None
-            else HOITransform(train=image_set == "train")
+            else HOITransform(train=image_set == "train", normalize=False)
         )
         self.subject_category_id = subject_category_id
 
@@ -93,15 +93,20 @@ class HICODataset:
     def __len__(self):
         return len(self.ids)
 
-    def load_image(self, file_name) -> np.ndarray:
+    def load_image(self, file_name):
+        """Decoded PIL image in RGB (stays PIL so the transform pipeline
+        runs entirely in PIL's C loops; convert() only when needed)."""
         from PIL import Image
 
-        return np.asarray(Image.open(self.img_folder / file_name).convert("RGB"))
+        img = Image.open(self.img_folder / file_name)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        return img
 
     def __getitem__(self, idx):
         anno = self.annotations[self.ids[idx]]
         img = self.load_image(anno["file_name"])
-        h, w = img.shape[:2]
+        w, h = img.size
 
         ann_list = anno["annotations"]
         if self.image_set == "train" and len(ann_list) > self.num_queries:

@@ -1,4 +1,4 @@
-"""Image + box augmentations (host-side numpy/PIL).
+"""Image + box augmentations (host-side PIL/numpy).
 
 Capability parity with the reference's datasets/transforms.py pipeline as
 configured by make_hico_transforms (reference: datasets/hico.py:471-501):
@@ -14,9 +14,14 @@ parallel arrays and an index column so crops can drop boxes consistently
 (the reference tracks this with a (i, class) label pair,
 datasets/hico.py:100-135).
 
-TPU note: the OUTPUT contract is static — callers bucket the resulting
-image to fixed shapes in collate.py; augmentation itself stays dynamic on
-host where raggedness is free.
+TPU + host-throughput notes: the OUTPUT contract is static — callers
+bucket the resulting image to fixed shapes in collate.py; augmentation
+itself stays dynamic on host where raggedness is free. The pipeline runs
+on PIL images internally (flip/jitter/resize/crop are all SIMD C loops)
+and converts to numpy ONCE at the end; with normalize=False the image
+stays uint8 end-to-end and the models normalize on device (see
+models/layers.normalize_pixels), which cuts the host float passes and
+shrinks the host->device transfer 4x.
 """
 
 from __future__ import annotations
@@ -38,19 +43,32 @@ def _pil():
     return Image
 
 
-def resize_image(img: np.ndarray, size: int, max_size: Optional[int] = 1333):
+def _to_pil(img):
+    """numpy (H, W, 3) uint8 or PIL.Image -> PIL.Image."""
+    if isinstance(img, np.ndarray):
+        return _pil().fromarray(img)
+    return img
+
+
+def _size_hw(img) -> tuple[int, int]:
+    if isinstance(img, np.ndarray):
+        return img.shape[0], img.shape[1]
+    w, h = img.size
+    return h, w
+
+
+def resize_image(img, size: int, max_size: Optional[int] = 1333):
     """Resize so the shorter side == size, longer side <= max_size.
-    img: (H, W, 3) uint8. Returns resized uint8 + (sh, sw) scale factors."""
-    h, w = img.shape[:2]
+    img: (H, W, 3) uint8 array or PIL.Image. Returns a PIL.Image +
+    (sh, sw) scale factors."""
+    h, w = _size_hw(img)
     short, long = min(h, w), max(h, w)
     scale = size / short
     if max_size is not None and long * scale > max_size:
         scale = max_size / long
     nh, nw = int(round(h * scale)), int(round(w * scale))
     Image = _pil()
-    out = np.asarray(
-        Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
-    )
+    out = _to_pil(img).resize((nw, nh), Image.BILINEAR)
     return out, (nh / h, nw / w)
 
 
@@ -61,18 +79,25 @@ class HOITransform:
     box_indices."""
 
     def __init__(self, train: bool, scales=None, max_size: int = 1333, rng=None,
-                 val_size: int = 800):
+                 val_size: int = 800, normalize: bool = True):
         self.train = train
         self.scales = scales or TRAIN_SCALES
         self.max_size = max_size
         self.val_size = val_size
         self.rng = rng or random.Random()
+        # normalize=False keeps the image uint8 end-to-end: the models
+        # normalize on device (fused into the stem conv by XLA), the host
+        # skips ~3 full-image float passes, and the host->device transfer
+        # shrinks 4x. Models key on the input dtype, so both paths coexist.
+        self.normalize = normalize
 
     # -------------------------- primitives ---------------------------- #
 
     def hflip(self, img, target):
-        img = img[:, ::-1].copy()
-        w = img.shape[1]
+        Image = _pil()
+        pil = _to_pil(img)
+        img = pil.transpose(Image.FLIP_LEFT_RIGHT)
+        w = pil.size[0]
         if len(target["boxes"]):
             b = target["boxes"]
             target["boxes"] = np.stack(
@@ -81,16 +106,34 @@ class HOITransform:
         return img, target
 
     def color_jitter(self, img, strength=0.4):
-        x = img.astype(np.float32)
-        # brightness
-        x = x * self.rng.uniform(1 - strength, 1 + strength)
-        # contrast
-        mean = x.mean()
-        x = (x - mean) * self.rng.uniform(1 - strength, 1 + strength) + mean
-        # saturation
-        gray = x.mean(axis=2, keepdims=True)
-        x = (x - gray) * self.rng.uniform(1 - strength, 1 + strength) + gray
-        return np.clip(x, 0, 255).astype(np.uint8)
+        """Brightness/contrast/saturation jitter, matching torchvision
+        ColorJitter(.4,.4,.4) semantics (reference: datasets/hico.py's
+        make_hico_transforms): brightness = blend with black, contrast =
+        blend with the mean of the LUMA-grayscale image, saturation =
+        blend with the grayscale image. PIL's ImageEnhance implements
+        exactly these blends in SIMD C; the numpy fallback composes the
+        same three blends into one affine pass."""
+        b = self.rng.uniform(1 - strength, 1 + strength)
+        c = self.rng.uniform(1 - strength, 1 + strength)
+        s = self.rng.uniform(1 - strength, 1 + strength)
+        try:
+            from PIL import ImageEnhance
+
+            im = _to_pil(img)
+            im = ImageEnhance.Brightness(im).enhance(b)
+            im = ImageEnhance.Contrast(im).enhance(c)
+            im = ImageEnhance.Color(im).enhance(s)
+            return im
+        except ImportError:
+            # single-affine composition of the three sequential blends:
+            # x3 = (s*c*b)*x + ((1-s)*c*b)*gray0 + ((1-c)*b)*mean0
+            x = np.asarray(img).astype(np.float32)
+            gray0 = x @ np.array([0.299, 0.587, 0.114], np.float32)
+            mean0 = gray0.mean()
+            out = x * (s * c * b)
+            out += (gray0 * ((1 - s) * c * b) + (1 - c) * b * mean0)[:, :, None]
+            np.clip(out, 0, 255, out=out)
+            return out.astype(np.uint8)
 
     def random_resize(self, img, target, sizes):
         size = self.rng.choice(sizes)
@@ -100,12 +143,15 @@ class HOITransform:
         return img, target
 
     def random_size_crop(self, img, target, min_size=384, max_crop=600):
-        h, w = img.shape[:2]
+        h, w = _size_hw(img)
         cw = self.rng.randint(min_size, min(w, max_crop)) if w > min_size else w
         ch = self.rng.randint(min_size, min(h, max_crop)) if h > min_size else h
         x0 = self.rng.randint(0, max(w - cw, 0)) if w > cw else 0
         y0 = self.rng.randint(0, max(h - ch, 0)) if h > ch else 0
-        img = img[y0 : y0 + ch, x0 : x0 + cw]
+        if isinstance(img, np.ndarray):
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
+        else:
+            img = img.crop((x0, y0, x0 + cw, y0 + ch))
         if len(target["boxes"]):
             b = target["boxes"] - np.array([x0, y0, x0, y0], np.float32)
             b[:, 0::2] = b[:, 0::2].clip(0, cw)
@@ -119,9 +165,10 @@ class HOITransform:
 
     # --------------------------- pipeline ----------------------------- #
 
-    def __call__(self, img: np.ndarray, target: dict):
-        """img uint8 (H, W, 3); returns normalized float32 image + target
-        with boxes STILL xyxy in pixels of the output image."""
+    def __call__(self, img, target: dict):
+        """img uint8 (H, W, 3) array or PIL.Image; returns a float32
+        normalized (normalize=True) or uint8 (normalize=False) numpy image
+        + target with boxes STILL xyxy in pixels of the output image."""
         if self.train:
             if self.rng.random() < 0.5:
                 img, target = self.hflip(img, target)
@@ -135,8 +182,10 @@ class HOITransform:
         else:
             img, target = self.random_resize(img, target, [self.val_size])
 
-        img = img.astype(np.float32) / 255.0
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        img = np.asarray(img)
+        if self.normalize:
+            img = img.astype(np.float32) / 255.0
+            img = (img - IMAGENET_MEAN) / IMAGENET_STD
         return img, target
 
 

@@ -111,7 +111,7 @@ class VGRelDataset:
             self.annotations = json.load(f)
         self.folders = {k: Path(v) for k, v in folders.items() if v is not None}
         self.num_pairs = num_queries // 2
-        self.transforms = transforms or HOITransform(train=True)
+        self.transforms = transforms or HOITransform(train=True, normalize=False)
         self.use_all_text_labels = use_all_text_labels
         self.o365_paths = image_id_to_filepath_o365
         if self.o365_paths is None and "o365" in self.folders:
@@ -175,7 +175,8 @@ class VGRelDataset:
             path = self.folders["hico"] / anno["image_id"]
         else:
             path = self.folders["vg"] / (str(anno["image_id"]) + ".jpg")
-        return np.asarray(Image.open(path).convert("RGB"))
+        img = Image.open(path)
+        return img if img.mode == "RGB" else img.convert("RGB")
 
     def __getitem__(self, idx):
         anno = self.annotations[self.ids[idx]]
@@ -183,7 +184,7 @@ class VGRelDataset:
         relationships_anno = anno["relationships"][: self.num_pairs]
 
         img = self._open_image(anno)
-        h, w = img.shape[:2]
+        w, h = img.size
 
         boxes = np.asarray(
             [

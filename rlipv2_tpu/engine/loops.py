@@ -272,7 +272,7 @@ def evaluate_hoi(
         targets = [s[1] for s in samples]
         B = len(images)
         H, W = bucket
-        pixels = np.zeros((B, H, W, 3), np.float32)
+        pixels = np.zeros((B, H, W, 3), np.asarray(images[0]).dtype)
         valid = np.zeros((B, H, W), bool)
         for b, im in enumerate(images):
             h, w = im.shape[:2]
@@ -368,7 +368,7 @@ def _collect_predictions_sharded(
         images = [s[0] for s in samples]
         targets = [s[1] for s in samples]
         B = len(images)
-        pixels = np.zeros((B, H, W, 3), np.float32)
+        pixels = np.zeros((B, H, W, 3), np.asarray(images[0]).dtype)
         valid = np.zeros((B, H, W), bool)
         for b, im in enumerate(images):
             h, w = im.shape[:2]
@@ -417,7 +417,7 @@ def _collect_predictions(
         targets = [s[1] for s in samples]
         B = len(images)
         H, W = bucket
-        pixels = np.zeros((B, H, W, 3), np.float32)
+        pixels = np.zeros((B, H, W, 3), np.asarray(images[0]).dtype)
         valid = np.zeros((B, H, W), bool)
         for b, im in enumerate(images):
             h, w = im.shape[:2]

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from rlipv2_tpu.config import ModelConfig
-from rlipv2_tpu.models.layers import MLP
+from rlipv2_tpu.models.layers import MLP, normalize_pixels
 from rlipv2_tpu.models.parse import DecoderLayer, EncoderLayer
 from rlipv2_tpu.models.parseda import downsample_mask
 from rlipv2_tpu.models.resnet import ResNet
@@ -108,7 +108,7 @@ class _ClosedVocabBase(nn.Module):
         t = self.cfg.transformer
         dt = self.compute_dtype
         B = pixels.shape[0]
-        feats = self.backbone(pixels.astype(dt))
+        feats = self.backbone(normalize_pixels(pixels, dt))
         srcs, masks, pos_embeds = [], [], []
         for i in range(t.num_feature_levels):
             if i < self.num_levels:
@@ -173,7 +173,7 @@ class QPICModel(_ClosedVocabBase):
         t = self.cfg.transformer
         dt = self.compute_dtype
         B = pixels.shape[0]
-        feat = self.backbone(pixels.astype(dt))[-1]
+        feat = self.backbone(normalize_pixels(pixels, dt))[-1]
         h, w = feat.shape[1], feat.shape[2]
         mask = downsample_mask(pixel_valid, h, w)
         pos = sine_position_embedding(
@@ -299,7 +299,7 @@ class QAHOIModel(_ClosedVocabBase):
         t = c.transformer
         dt = self.compute_dtype
         B = pixels.shape[0]
-        feats = self.backbone(pixels.astype(dt))
+        feats = self.backbone(normalize_pixels(pixels, dt))
         srcs, masks, pos_embeds = [], [], []
         for i in range(t.num_feature_levels):
             if i < self.num_levels:
@@ -1246,7 +1246,7 @@ class DETRHOIhmModel(QPICModel):
         B = pixels.shape[0]
         memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
 
-        feat = self.backbone(pixels.astype(dt))[-1]
+        feat = self.backbone(normalize_pixels(pixels, dt))[-1]
         h, w = feat.shape[1], feat.shape[2]
         mem2d = memory.reshape(B, h, w, t.hidden_dim)
         hm_feat = nn.relu(self.hm_conv(mem2d))

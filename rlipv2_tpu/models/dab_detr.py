@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from rlipv2_tpu.config import ModelConfig
-from rlipv2_tpu.models.layers import MLP
+from rlipv2_tpu.models.layers import MLP, normalize_pixels
 from rlipv2_tpu.models.parse import DecoderLayer, EncoderLayer
 from rlipv2_tpu.models.parseda import downsample_mask
 from rlipv2_tpu.models.resnet import ResNet
@@ -145,7 +145,7 @@ class ParSeDABDETR(nn.Module):
         d = t.hidden_dim
 
         feat = ResNet(name_variant=c.backbone.name, num_outputs=1, dtype=dt)(
-            pixels.astype(dt)
+            normalize_pixels(pixels, dt)
         )[-1]
         h, w = feat.shape[1], feat.shape[2]
         mask = downsample_mask(pixel_valid, h, w)

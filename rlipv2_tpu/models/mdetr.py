@@ -28,6 +28,7 @@ from rlipv2_tpu.models.layers import (
     MLP,
     FeatureResizer,
     MultiBranchFusion,
+    normalize_pixels,
 )
 from rlipv2_tpu.models.parse import BIAS_C, DecoderLayer, EncoderLayer
 from rlipv2_tpu.models.parseda import downsample_mask
@@ -108,7 +109,7 @@ class RLIPMDETR(nn.Module):
         np_ = nq // 2
         T = text_emb.shape[1]
 
-        feat = self.backbone(pixels.astype(dt))[-1]
+        feat = self.backbone(normalize_pixels(pixels, dt))[-1]
         h, w = feat.shape[1], feat.shape[2]
         mask = downsample_mask(pixel_valid, h, w)
         pos = sine_position_embedding(
@@ -244,7 +245,7 @@ class RLIPParSeV1Joint(nn.Module):
         else:
             feat = ResNet(
                 name_variant=c.backbone.name, num_outputs=1, dtype=dt
-            )(pixels.astype(dt))[-1]
+            )(normalize_pixels(pixels, dt))[-1]
             h, w = feat.shape[1], feat.shape[2]
             mask = downsample_mask(pixel_valid, h, w)
             pos = sine_position_embedding(

@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 
 from rlipv2_tpu.config import ModelConfig
-from rlipv2_tpu.models.layers import MLP, FeatureResizer, MultiBranchFusion
+from rlipv2_tpu.models.layers import (
+    MLP,
+    FeatureResizer,
+    MultiBranchFusion,
+    normalize_pixels,
+)
 from rlipv2_tpu.models.parseda import BIAS_C, downsample_mask
 from rlipv2_tpu.models.resnet import ResNet
 from rlipv2_tpu.models.roberta import RobertaModel
@@ -272,7 +277,7 @@ class RLIPParSe(nn.Module):
         nq = c.num_queries
         np_ = nq // 2
 
-        feat = self.backbone(pixels.astype(dt))[-1]  # (B, h, w, C_bb)
+        feat = self.backbone(normalize_pixels(pixels, dt))[-1]  # (B, h, w, C_bb)
         h, w = feat.shape[1], feat.shape[2]
         mask = downsample_mask(pixel_valid, h, w)
         pos = sine_position_embedding(mask, num_pos_feats=t.hidden_dim // 2).astype(dt)
@@ -440,7 +445,7 @@ class RLIPParSeV2(nn.Module):
         nq = c.num_queries
         np_ = nq // 2
 
-        feat = self.backbone(pixels.astype(dt))[-1]
+        feat = self.backbone(normalize_pixels(pixels, dt))[-1]
         h, w = feat.shape[1], feat.shape[2]
         mask = downsample_mask(pixel_valid, h, w)
         pos = sine_position_embedding(mask, num_pos_feats=t.hidden_dim // 2).astype(dt)

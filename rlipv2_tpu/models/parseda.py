@@ -41,7 +41,11 @@ from rlipv2_tpu.models.deformable import (
     DeformableEncoder,
     compute_valid_ratios,
 )
-from rlipv2_tpu.models.layers import FeatureResizer, MultiBranchFusion
+from rlipv2_tpu.models.layers import (
+    FeatureResizer,
+    MultiBranchFusion,
+    normalize_pixels,
+)
 from rlipv2_tpu.models.resnet import ResNet
 from rlipv2_tpu.models.roberta import RobertaModel
 from rlipv2_tpu.ops.positional import sine_position_embedding
@@ -231,9 +235,9 @@ class RLIPParSeDA(nn.Module):
         B = pixels.shape[0]
 
         if c.backbone.name.startswith("resnet"):
-            feats = self.backbone(pixels.astype(dt))
+            feats = self.backbone(normalize_pixels(pixels, dt))
         else:  # swin takes deterministic for drop-path
-            feats = self.backbone(pixels.astype(dt), deterministic)
+            feats = self.backbone(normalize_pixels(pixels, dt), deterministic)
 
         srcs = []
         masks = []

@@ -41,9 +41,15 @@ def alif_additive_bool_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray
     through `get_extended_attention_mask`, i.e. PROPER -inf masking —
     verified output-exact by tests/test_alif_parity.py. (A raw
     bool-additive interpretation was round-1's reading; the vendored layer
-    actually extends the mask.)"""
+    actually extends the mask.)
+
+    The constant must be finfo(COMPUTE dtype).min, like HF: float32's min
+    cast to bfloat16 overflows to -inf and then VALID slots compute
+    (1-1) * -inf = NaN — every bf16 forward NaN'd through the ALIF
+    language path before this used the dtype's own min."""
     m = mask.astype(dtype)[:, None, None, :]
-    return (1.0 - m) * jnp.finfo(jnp.float32).min.astype(dtype)
+    fdtype = dtype if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) else jnp.float32
+    return (1.0 - m) * jnp.asarray(jnp.finfo(fdtype).min, dtype)
 
 
 def create_position_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:

@@ -111,7 +111,7 @@ class DETRSegm(nn.Module):
 
     @nn.compact
     def __call__(self, pixels, pixel_valid, deterministic: bool = True):
-        from rlipv2_tpu.models.layers import MLP
+        from rlipv2_tpu.models.layers import MLP, normalize_pixels
         from rlipv2_tpu.models.parse import DecoderLayer, EncoderLayer
         from rlipv2_tpu.models.parseda import downsample_mask
         from rlipv2_tpu.models.resnet import ResNet
@@ -125,7 +125,7 @@ class DETRSegm(nn.Module):
 
         feats = ResNet(
             name_variant=c.backbone.name, num_outputs=4, dtype=dt
-        )(pixels.astype(dt))  # [/4, /8, /16, /32]
+        )(normalize_pixels(pixels, dt))  # [/4, /8, /16, /32]
         feat = feats[-1]
         h, w = feat.shape[1], feat.shape[2]
         mask = downsample_mask(pixel_valid, h, w)

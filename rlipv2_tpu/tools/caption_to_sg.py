@@ -50,6 +50,10 @@ def parse_caption(caption: str) -> dict:
     try:  # optional: the reference's parser, when available
         import sng_parser
 
+        # a stubbed sng_parser (e.g. installed to import reference helpers
+        # in tests) may exist without a usable parse()
+        if not callable(getattr(sng_parser, "parse", None)):
+            raise ImportError("sng_parser.parse unavailable")
         g = sng_parser.parse(caption)
         return {
             "entities": [{"span": e["span"].lower()} for e in g["entities"]],
