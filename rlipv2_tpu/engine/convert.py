@@ -409,10 +409,14 @@ COCO_OBJ_IDS = [
 
 
 def coco_class_embed_to_hico(weight: np.ndarray, bias: np.ndarray,
-                             bg_weight=None, bg_bias=None):
+                             bg_weight=None, bg_bias=None,
+                             dataset: str = "hico"):
     """Remap a COCO 91-way class head to HICO's 80 objects + no-object
     slot (reference: convert_parameters_DABDDETR.py:142-147 appends a
-    fresh background row then gathers obj_ids)."""
+    fresh background row then gathers obj_ids). dataset="vcoco" further
+    inserts one fresh object row BEFORE the background slot (V-COCO's
+    extra no-object pairing class, reference:
+    convert_parameters/convert_DABDETR.py:80-92)."""
     rng = np.random.RandomState(0)
     if bg_weight is None:
         bg_weight = (rng.randn(1, weight.shape[1]) / np.sqrt(weight.shape[1])).astype(np.float32)
@@ -420,7 +424,15 @@ def coco_class_embed_to_hico(weight: np.ndarray, bias: np.ndarray,
         bg_bias = np.zeros((1,), np.float32)
     w = np.concatenate([weight, bg_weight], axis=0)
     b = np.concatenate([bias, bg_bias], axis=0)
-    return w[COCO_OBJ_IDS], b[COCO_OBJ_IDS]
+    w, b = w[COCO_OBJ_IDS], b[COCO_OBJ_IDS]
+    if dataset == "vcoco":
+        extra_w = (rng.randn(1, w.shape[1]) / np.sqrt(w.shape[1])).astype(
+            np.float32
+        )
+        extra_b = np.zeros((1,), np.float32)
+        w = np.concatenate([w[:-1], extra_w, w[-1:]], axis=0)
+        b = np.concatenate([b[:-1], extra_b, b[-1:]], axis=0)
+    return w, b
 
 
 def merge_param_trees(base: dict, update: dict) -> dict:

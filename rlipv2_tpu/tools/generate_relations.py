@@ -320,3 +320,49 @@ def generate_pseudo_annotations(
             anno["dataset"] = dataset_name
         annos.append(anno)
     return annos
+
+
+def deduplicate_relationships(annos: list) -> list:
+    """Drop duplicate (subject, object, predicate) relationships, keeping
+    the highest-confidence copy — the reference's post-tagger filter
+    (datasets/rlipv2_helper/tagger_helper.py:29-73
+    `deduplicate_verb_tagger_output`). Faithful to its quirk: every copy
+    whose confidence EQUALS the max survives (exact ties keep both).
+    Mutates and returns `annos`."""
+    for anno in annos:
+        rels = anno["relationships"]
+        max_conf: dict = {}
+        for rel in rels:
+            key = (rel["subject_id"], rel["object_id"], rel["predicate"])
+            c = rel["confidence"]
+            if key not in max_conf or c > max_conf[key]:
+                max_conf[key] = c
+        anno["relationships"] = [
+            rel
+            for rel in rels
+            if rel["confidence"]
+            == max_conf[(rel["subject_id"], rel["object_id"], rel["predicate"])]
+        ]
+    return annos
+
+
+def merge_tagger_segments(json_list, dataset_change_to=None,
+                          save_merged_file=None) -> list:
+    """Concatenate tagger-output segments (e.g. the 4 O365 shards) into one
+    annotation list, optionally restamping the "dataset" field — the
+    reference's `merge_segments_from_verb_tagger`
+    (datasets/rlipv2_helper/tagger_helper.py:76-110), which appends every
+    segment entry verbatim (duplicated image_ids are reported, not
+    dropped)."""
+    import json
+    from pathlib import Path
+
+    annos: list = []
+    for jf in json_list:
+        annos += json.loads(Path(jf).read_text())
+    if dataset_change_to is not None:
+        for anno in annos:
+            anno["dataset"] = dataset_change_to
+    if save_merged_file:
+        Path(save_merged_file).write_text(json.dumps(annos))
+    return annos

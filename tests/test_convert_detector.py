@@ -325,3 +325,23 @@ def test_detr_detector_warm_start_forward():
     for k in ("pred_obj_logits", "pred_verb_logits", "pred_sub_boxes",
               "pred_obj_boxes"):
         assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_coco_class_embed_vcoco_variant():
+    """V-COCO inserts one fresh object row before the background slot
+    (reference convert_parameters/convert_DABDETR.py:80-92)."""
+    import numpy as np
+
+    from rlipv2_tpu.engine.convert import coco_class_embed_to_hico
+
+    rng = np.random.RandomState(3)
+    w91 = rng.randn(91, 16).astype(np.float32)
+    b91 = rng.randn(91).astype(np.float32)
+    wh, bh = coco_class_embed_to_hico(w91, b91)
+    wv, bv = coco_class_embed_to_hico(w91, b91, dataset="vcoco")
+    assert wh.shape == (81, 16) and wv.shape == (82, 16)
+    # hico rows preserved, background stays last
+    np.testing.assert_array_equal(wv[:80], wh[:80])
+    np.testing.assert_array_equal(wv[-1], wh[-1])
+    np.testing.assert_array_equal(bv[:80], bh[:80])
+    assert bv[80] == 0.0  # fresh inserted row bias

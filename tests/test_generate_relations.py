@@ -155,3 +155,48 @@ def test_batched_rows_match_per_group_path():
         for g, r in zip(got, ref):
             assert g["predicate"] == r["predicate"]
             assert np.isclose(g["confidence"], r["confidence"], atol=1e-4)
+
+
+def test_deduplicate_relationships():
+    from rlipv2_tpu.tools.generate_relations import deduplicate_relationships
+
+    annos = [
+        {
+            "image_id": 1,
+            "relationships": [
+                {"subject_id": 0, "object_id": 1, "predicate": "on", "confidence": 0.3},
+                {"subject_id": 0, "object_id": 1, "predicate": "on", "confidence": 0.7},
+                {"subject_id": 0, "object_id": 1, "predicate": "has", "confidence": 0.5},
+                {"subject_id": 2, "object_id": 1, "predicate": "on", "confidence": 0.2},
+            ],
+        }
+    ]
+    out = deduplicate_relationships(annos)
+    rels = out[0]["relationships"]
+    assert len(rels) == 3
+    on01 = [r for r in rels if r["predicate"] == "on" and r["subject_id"] == 0]
+    assert len(on01) == 1 and on01[0]["confidence"] == 0.7
+    # reference quirk: exact-confidence ties ALL survive
+    annos2 = [{"image_id": 2, "relationships": [
+        {"subject_id": 0, "object_id": 1, "predicate": "on", "confidence": 0.4},
+        {"subject_id": 0, "object_id": 1, "predicate": "on", "confidence": 0.4},
+    ]}]
+    assert len(deduplicate_relationships(annos2)[0]["relationships"]) == 2
+
+
+def test_merge_tagger_segments(tmp_path):
+    import json
+
+    from rlipv2_tpu.tools.generate_relations import merge_tagger_segments
+
+    a = [{"image_id": 1, "dataset": "coco", "relationships": []}]
+    b = [{"image_id": 2, "dataset": "coco", "relationships": []},
+         {"image_id": 1, "dataset": "coco", "relationships": []}]
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a)); pb.write_text(json.dumps(b))
+    out_file = tmp_path / "merged.json"
+    merged = merge_tagger_segments([pa, pb], dataset_change_to="o365",
+                                   save_merged_file=out_file)
+    assert len(merged) == 3  # verbatim concat, duplicate image_ids kept
+    assert all(m["dataset"] == "o365" for m in merged)
+    assert json.loads(out_file.read_text()) == merged
