@@ -46,6 +46,12 @@ def get_parser():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_backbone", type=float, default=1e-5)
     p.add_argument("--lr_text_encoder", type=float, default=1e-5)
+    p.add_argument("--freeze_text_encoder", action="store_true",
+                   help="do not train RoBERTa (reference main.py:349); "
+                        "by default slot tokens are encoded in-graph so "
+                        "text gradients flow")
+    p.add_argument("--text_token_len", type=int, default=24,
+                   help="static token length for in-graph label encoding")
     p.add_argument("--lr_drop", type=int, default=15)
     p.add_argument("--schedule", default="step")
     p.add_argument("--seed", type=int, default=42)
@@ -193,7 +199,10 @@ def build_everything(args):
             jnp.ones((1, 8), jnp.int32),
             include_tagger=args.verb_tagger,
         )
-    state, tx = create_train_state(params, tcfg, steps_per_epoch=1000)
+    state, tx = create_train_state(
+        params, tcfg, steps_per_epoch=1000,
+        freeze_text_encoder=args.freeze_text_encoder,
+    )
     n_dev = len(jax.devices())
     state_sharding = None
     if args.fsdp > 1 and n_dev % args.fsdp == 0:
@@ -214,6 +223,13 @@ def build_everything(args):
         len(paradigm) if args.dataset_file == "pretrain" and len(paradigm) > 1
         else 1
     )
+    # in-graph text encoding (text-encoder training) needs a tokenizer and
+    # an encode_text method on the model
+    text_tokens = bool(
+        args.tokenizer_dir
+        and not args.freeze_text_encoder
+        and getattr(type(model), "encode_text", None) is not None
+    )
     step = make_train_step(
         model, criterion, tx, cfg, tcfg, mesh,
         accumulation_steps=accumulation_steps,
@@ -221,6 +237,7 @@ def build_everything(args):
         tagger=args.verb_tagger,
         box_noise_scale=args.box_noise_scale,
         label_noise_scale=args.label_noise_scale,
+        text_tokens=text_tokens,
     )
 
     encode_method = getattr(type(model), "encode_text", None)
@@ -248,6 +265,18 @@ def build_everything(args):
         ids, mask = tokenizer.batch_encode(texts)
         return np.asarray(encode(state.params, jnp.asarray(ids), jnp.asarray(mask)))
 
+    def tokenize_fn(texts):
+        import numpy as np
+
+        L = args.text_token_len
+        ids, mask = tokenizer.batch_encode(texts, max_len=L)
+        if ids.shape[1] < L:  # STATIC token length -> one compiled step
+            pad = L - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)),
+                         constant_values=tokenizer.pad)
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        return ids, mask
+
     return {
         "cfg": cfg,
         "tcfg": tcfg,
@@ -258,6 +287,7 @@ def build_everything(args):
         "mesh": mesh,
         "accumulation_steps": accumulation_steps,
         "text_encoder": CachedTextEncoder(encode_fn),
+        "tokenize_fn": tokenize_fn if text_tokens else None,
     }
 
 
@@ -358,6 +388,7 @@ def main(argv=None):
             obj_vocab=train_ds.object_text, verb_vocab=train_ds.verb_text,
             print_freq=args.print_freq, max_steps=args.max_steps,
             num_workers=args.num_workers,
+            tokenize_fn=ctx["tokenize_fn"],
         )
         mgr.save(epoch, state, config=ctx["tcfg"])
         stats = evaluate_hoi(
@@ -450,6 +481,7 @@ def run_pretrain(args, ctx):
             sampling_strategy=args.sampling_strategy,
             print_freq=args.print_freq, max_steps=args.max_steps,
             batch_lists=batches, num_workers=args.num_workers,
+            tokenize_fn=ctx["tokenize_fn"],
             accumulation_steps=K,
         )
         mgr.save(epoch, state, config=ctx["tcfg"])
@@ -504,7 +536,8 @@ def run_vg(args, ctx):
             verb_freqs=list(ds.relationship_freq.values()),
             sampling_strategy=args.sampling_strategy,
             print_freq=args.print_freq, max_steps=args.max_steps,
-            num_workers=args.num_workers, max_triplets=max_triplets,
+            num_workers=args.num_workers,
+            tokenize_fn=ctx["tokenize_fn"], max_triplets=max_triplets,
         )
         mgr.save(epoch, state, config=ctx["tcfg"])
         append_log_line(

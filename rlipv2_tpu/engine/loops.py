@@ -53,7 +53,8 @@ class CachedTextEncoder:
         return np.stack([self.cache[t] for t in texts])
 
 
-def _batch_from_arrays(arrays, text_emb, text_valid):
+def _batch_from_arrays(arrays, text_emb, text_valid, token_ids=None,
+                       token_mask=None):
     targets = HOITargets(
         obj_labels=jnp.asarray(arrays["obj_labels"], jnp.int32),
         sub_labels=jnp.asarray(arrays["sub_labels"], jnp.int32),
@@ -68,6 +69,8 @@ def _batch_from_arrays(arrays, text_emb, text_valid):
         text_emb=jnp.asarray(text_emb),
         text_valid=jnp.asarray(text_valid),
         targets=targets,
+        token_ids=None if token_ids is None else jnp.asarray(token_ids),
+        token_mask=None if token_mask is None else jnp.asarray(token_mask),
     )
 
 
@@ -94,8 +97,13 @@ def train_one_epoch(
     batch_lists: Optional[Sequence[Sequence[int]]] = None,
     num_workers: int = 0,
     accumulation_steps: int = 1,
+    tokenize_fn=None,
 ):
-    """indices + batch_size give a plain epoch; batch_lists (e.g. from
+    """tokenize_fn (texts -> (ids, mask) int32 arrays), when given, puts
+    the batch's slot TOKENS into the TrainBatch so the step encodes text
+    in-graph and the text encoder trains (reference main.py:520-536
+    text_encoder_lr group; omit it / --freeze_text_encoder for the frozen
+    path). indices + batch_size give a plain epoch; batch_lists (e.g. from
     data/vg.batch_iterative_indices) gives pre-built whole batches for
     multi-dataset interleaving. With accumulation_steps > 1 each
     batch_lists entry is a group of K micro-batch index lists; the K
@@ -172,16 +180,21 @@ def train_one_epoch(
             sampling_strategy=sampling_strategy,
             rng=b_rng,
         )
-        slot_texts = list(obj_slots) + list(verb_slots)
-        feats = text_encoder(
-            [t if t else "." for t in slot_texts]  # pad slots encode '.'
-        )
+        slot_texts = [
+            t if t else "." for t in list(obj_slots) + list(verb_slots)
+        ]  # pad slots encode '.'
+        feats = text_encoder(slot_texts)
         B = arrays["pixels"].shape[0]
         text_emb = np.tile(feats[None], (B, 1, 1))
         text_valid = np.concatenate(
             [arrays["obj_text_valid"], arrays["verb_text_valid"]], axis=1
         )
-        return _batch_from_arrays(arrays, text_emb, text_valid)
+        token_ids = token_mask = None
+        if tokenize_fn is not None:
+            token_ids, token_mask = tokenize_fn(slot_texts)
+        return _batch_from_arrays(
+            arrays, text_emb, text_valid, token_ids, token_mask
+        )
 
     def flush(metrics):
         loss = float(metrics["loss"])

@@ -42,6 +42,13 @@ class TrainBatch(NamedTuple):
     text_emb: jnp.ndarray  # (B, T, l_dim)
     text_valid: jnp.ndarray  # (B, T)
     targets: HOITargets
+    # tokenized slot texts (T, L) int32 — when present, the train step runs
+    # encode_text INSIDE the loss so gradients reach the RoBERTa text
+    # encoder (the reference trains it with its own lr group,
+    # main.py:520-536 text_encoder_lr; text_emb is then only the
+    # pseudo-verb offline feature source)
+    token_ids: Optional[jnp.ndarray] = None
+    token_mask: Optional[jnp.ndarray] = None
 
 
 def create_train_state(
@@ -78,6 +85,7 @@ def make_train_step(
     tagger: bool = False,
     box_noise_scale: float = 0.6,
     label_noise_scale: float = 0.3,
+    text_tokens: bool = False,
 ):
     """Returns a jitted train_step(state, batch) -> (state, metrics).
 
@@ -93,13 +101,35 @@ def make_train_step(
     scripts/verb_tagger/train_vg_RLIP_ParSeD_v2_tagger_resnet.sh:14-56
     with label_noise 0.3 / box_noise 0.6)."""
 
+    def batch_text_emb(params, batch: TrainBatch, rng):
+        """(B, T, l_dim) text features for the forward: encoded in-graph
+        from the slot tokens when provided (text-encoder training), else
+        the precomputed batch features (frozen text encoder)."""
+        if batch.token_ids is None:
+            return batch.text_emb, rng
+        rng, text_rng = jax.random.split(rng)
+        pooled = model.apply(
+            {"params": params},
+            batch.token_ids,
+            batch.token_mask,
+            deterministic,
+            method=type(model).encode_text,
+            rngs={"dropout": text_rng},
+        )  # (T, l_dim)
+        B = batch.pixels.shape[0]
+        return (
+            jnp.broadcast_to(pooled[None], (B, *pooled.shape)),
+            rng,
+        )
+
     def tagger_loss_fn(params, batch: TrainBatch, rng):
+        text_emb, rng = batch_text_emb(params, batch, rng)
         noise_rng, drop_rng = jax.random.split(rng)
         out = model.apply(
             {"params": params},
             batch.pixels,
             batch.pixel_valid,
-            batch.text_emb,
+            text_emb,
             batch.text_valid,
             batch.targets,
             noise_rng,
@@ -119,11 +149,12 @@ def make_train_step(
         return criterion.weighted_total(losses), losses
 
     def hoi_loss_fn(params, batch: TrainBatch, rng):
+        text_emb, rng = batch_text_emb(params, batch, rng)
         out = model.apply(
             {"params": params},
             batch.pixels,
             batch.pixel_valid,
-            batch.text_emb,
+            text_emb,
             batch.text_valid,
             mcfg.max_obj_texts,
             deterministic=deterministic,
@@ -237,6 +268,11 @@ def make_train_step(
         text_emb=data,
         text_valid=data,
         targets=HOITargets(data, data, data, data, data, data),
+        # slot tokens are shared across the batch -> replicated (None when
+        # the caller feeds precomputed text_emb; pytrees treat None as an
+        # empty subtree so the structures still match)
+        token_ids=repl if text_tokens else None,
+        token_mask=repl if text_tokens else None,
     )
     if state_sharding is None:
         state_sharding = TrainState(repl, repl, repl, repl, repl)
