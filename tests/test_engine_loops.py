@@ -233,3 +233,43 @@ def test_prefetch_map_order_and_parallelism():
     b = batch_rng(0, 3, 7).random()
     c = batch_rng(0, 3, 8).random()
     assert a == b != c
+
+
+def test_train_one_epoch_with_text_tokens(tiny_setup, synth_hico):  # noqa: F811
+    """End-to-end epoch with tokenize_fn: the step encodes the slot tokens
+    in-graph, so the text encoder receives real updates (reference trains
+    RoBERTa with text_encoder_lr, main.py:520-536)."""
+    cfg, model, params, text_encoder = tiny_setup
+
+    train_ds = small_vocab_dataset(synth_hico, train=True)
+    remap_small(train_ds)
+    tcfg = TrainConfig(lr=1e-4, ema=False, batch_size=2)
+    criterion = SetCriterionHOI(LossConfig())
+    state, tx = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, params), tcfg, steps_per_epoch=2
+    )
+    step = make_train_step(
+        model, criterion, tx, cfg, tcfg, mesh=None, text_tokens=True
+    )
+
+    def leaf(p):
+        return np.asarray(
+            p["params"]["text_encoder"]["layer_0"]["attention_self"]
+            ["query"]["kernel"]
+        )
+
+    before = leaf(params)
+    state, metrics = train_one_epoch(
+        step,
+        state,
+        train_ds,
+        indices=list(range(len(train_ds))),
+        batch_size=2,
+        cfg=cfg,
+        text_encoder=text_encoder,
+        epoch=0,
+        print_freq=1,
+        tokenize_fn=hash_tokenize,
+    )
+    assert np.isfinite(metrics["loss"])
+    assert np.abs(leaf(state.params) - before).max() > 0
