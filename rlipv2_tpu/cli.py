@@ -62,6 +62,11 @@ def get_parser():
     p.add_argument("--zero_shot_setting", default=None, choices=[None, "UC-RF", "UC-NF", "UO"])
     p.add_argument("--few_shot_transfer", type=int, default=100, choices=[1, 10, 100])
     p.add_argument("--use_nms_filter", action="store_true")
+    p.add_argument("--eval_uniformity", action="store_true",
+                   help="with --eval: also Hungarian-match predictions to "
+                        "GT, dump per-verb-class verb-decoder features and "
+                        "print the Wang-Isola uniformity/alignment summary "
+                        "(reference: engine.py:573-697)")
     p.add_argument("--negative_text_sampling", type=int, default=0)
     p.add_argument("--sampling_strategy", default="freq")
     p.add_argument("--tokenizer_dir", default="", help="dir with vocab.json + merges.txt")
@@ -362,6 +367,20 @@ def main(argv=None):
     )
 
     if args.eval:
+        if args.eval_uniformity:
+            from rlipv2_tpu.engine.loops import (
+                evaluate_hoi_matching_uniformity,
+            )
+
+            stats, analysis, _ = evaluate_hoi_matching_uniformity(
+                apply_fn, state.params, val_ds, cfg, ctx["text_encoder"],
+                batch_size=args.batch_size,
+                use_nms_filter=args.use_nms_filter,
+                save_path=str(out_dir / "verb_class_features.npz"),
+            )
+            print(stats)
+            print(analysis)
+            return stats
         stats = evaluate_hoi(
             apply_fn, state.params, val_ds, cfg, ctx["text_encoder"],
             batch_size=args.batch_size, use_nms_filter=args.use_nms_filter,

@@ -352,6 +352,206 @@ def _run_hico_evaluator(dataset, preds, gts, n_obj, n_verb, use_nms_filter):
     return evaluator.evaluate()
 
 
+def evaluate_hoi_matching_uniformity(
+    apply_fn,
+    params,
+    dataset,
+    cfg: ModelConfig,
+    text_encoder: CachedTextEncoder,
+    batch_size: int = 8,
+    bucket=(832, 1344),
+    subject_category_id: int = 0,
+    use_nms_filter: bool = False,
+    max_images: Optional[int] = None,
+    max_gt: int = 64,
+    save_path: Optional[str] = None,
+    cost_obj_class: float = 1.0,
+    cost_verb_class: float = 1.0,
+    cost_bbox: float = 2.5,
+    cost_giou: float = 1.0,
+):
+    """HICO-style eval that ALSO Hungarian-matches predictions to the GT
+    triplets and collects the matched verb-decoder features per GT verb
+    class, for the representation uniformity/alignment analysis
+    (reference: engine.py:573-697 `evaluate_hoi_with_text_matching_
+    uniformity`; per-class feature dict built at engine.py:647-655, dumped
+    via np.savez_compressed at :677-678).
+
+    `apply_fn` must return "verb_decoder_out" (the last verb-decoder
+    layer's hidden states, reference models/hoi.py:2173) in its output.
+    The val-format GTs (boxes/labels/hois in original pixel space) are
+    padded into matcher `HOITargets` here — per-(sub, obj)-pair multi-hot
+    verb labels, normalized cxcywh boxes — so the same on-device matcher
+    as training is reused.
+
+    Returns `(stats, analysis, class_features)`: the evaluator stats, the
+    Wang-Isola summary (`tools.uniformity.analyze`) and the raw
+    `{verb_class: [feature, ...]}` dict (saved compressed to `save_path`
+    when given, mirroring the reference's `save_relation_ft_path`)."""
+    from rlipv2_tpu.losses.matcher import hoi_matching_costs, hungarian_match
+    from rlipv2_tpu.tools.uniformity import analyze
+
+    obj_texts = list(dataset.object_text) + ["no objects"]
+    verb_texts = list(dataset.verb_text)
+    n_obj = len(obj_texts)
+    n_verb = len(verb_texts)
+    feats = text_encoder(obj_texts + verb_texts)
+
+    n_images = len(dataset) if max_images is None else min(max_images, len(dataset))
+    class_features: dict[int, list] = {v: [] for v in range(n_verb)}
+    preds, gts = [], []
+
+    def match_targets(targets):
+        B = len(targets)
+        obj_l = np.zeros((B, max_gt), np.int32)
+        sub_l = np.full((B, max_gt), subject_category_id, np.int32)
+        verb_l = np.zeros((B, max_gt, n_verb), np.float32)
+        sub_b = np.zeros((B, max_gt, 4), np.float32)
+        obj_b = np.zeros((B, max_gt, 4), np.float32)
+        valid = np.zeros((B, max_gt), bool)
+        for b, t in enumerate(targets):
+            h, w = (float(x) for x in t["orig_size"])
+            boxes = np.asarray(t["boxes"], np.float32).reshape(-1, 4)
+            if not boxes.size:
+                continue
+            cxcywh = np.stack(
+                [
+                    (boxes[:, 0] + boxes[:, 2]) / 2.0 / w,
+                    (boxes[:, 1] + boxes[:, 3]) / 2.0 / h,
+                    (boxes[:, 2] - boxes[:, 0]) / w,
+                    (boxes[:, 3] - boxes[:, 1]) / h,
+                ],
+                axis=1,
+            )
+            labels = np.asarray(t["labels"]).reshape(-1)
+            pairs: list[tuple[int, int]] = []
+            for s, o, v in np.asarray(t["hois"]).reshape(-1, 3):
+                key = (int(s), int(o))
+                if key in pairs:
+                    m = pairs.index(key)
+                else:
+                    if len(pairs) >= max_gt:
+                        continue
+                    m = len(pairs)
+                    pairs.append(key)
+                    obj_l[b, m] = labels[int(o)]
+                    sub_b[b, m] = cxcywh[int(s)]
+                    obj_b[b, m] = cxcywh[int(o)]
+                    valid[b, m] = True
+                verb_l[b, m, int(v)] = 1.0
+        return HOITargets(
+            obj_labels=jnp.asarray(obj_l),
+            sub_labels=jnp.asarray(sub_l),
+            verb_labels=jnp.asarray(verb_l),
+            sub_boxes=jnp.asarray(sub_b),
+            obj_boxes=jnp.asarray(obj_b),
+            valid=jnp.asarray(valid),
+        )
+
+    @jax.jit
+    def _match(out, tgt, verb_valid):
+        costs = hoi_matching_costs(
+            out,
+            tgt,
+            verb_valid,
+            cost_obj_class=cost_obj_class,
+            cost_verb_class=cost_verb_class,
+            cost_bbox=cost_bbox,
+            cost_giou=cost_giou,
+        )
+        return hungarian_match(costs.total)
+
+    def make_eval_batch(start):
+        ids = range(start, min(start + batch_size, n_images))
+        samples = [dataset[i] for i in ids]
+        images = [s[0] for s in samples]
+        targets = [s[1] for s in samples]
+        B = len(images)
+        H, W = bucket
+        pixels = np.zeros((B, H, W, 3), np.asarray(images[0]).dtype)
+        valid = np.zeros((B, H, W), bool)
+        for b, im in enumerate(images):
+            h, w = im.shape[:2]
+            assert h <= H and w <= W, (
+                f"eval image ({h},{w}) exceeds the fixed bucket ({H},{W})"
+            )
+            pixels[b, :h, :w] = im
+            valid[b, :h, :w] = True
+        text_emb = np.tile(feats[None], (B, 1, 1))
+        text_valid = np.ones((B, n_obj + n_verb), bool)
+        return pixels, valid, text_emb, text_valid, targets
+
+    for pixels, valid, text_emb, text_valid, targets in prefetch_map(
+        make_eval_batch, range(0, n_images, batch_size), num_workers=2
+    ):
+        out = apply_fn(
+            params,
+            jnp.asarray(pixels),
+            jnp.asarray(valid),
+            jnp.asarray(text_emb),
+            jnp.asarray(text_valid),
+            n_obj,
+        )
+        assert "verb_decoder_out" in out, (
+            "apply_fn must expose the verb decoder hidden states as "
+            "'verb_decoder_out' (reference: models/hoi.py:2173)"
+        )
+        tgt = match_targets(targets)
+        match = np.asarray(
+            _match(
+                {
+                    k: out[k]
+                    for k in (
+                        "pred_obj_logits",
+                        "pred_verb_logits",
+                        "pred_sub_boxes",
+                        "pred_obj_boxes",
+                    )
+                },
+                tgt,
+                jnp.ones((len(targets), n_verb), bool),
+            )
+        )
+        verb_feat = np.asarray(out["verb_decoder_out"], np.float32)
+        tgt_valid = np.asarray(tgt.valid)
+        tgt_verbs = np.asarray(tgt.verb_labels)
+        for b in range(len(targets)):
+            for m in np.nonzero(tgt_valid[b])[0]:
+                q = int(match[b, m])
+                for v in np.nonzero(tgt_verbs[b, m])[0]:
+                    class_features[int(v)].append(verb_feat[b, q])
+
+        orig = jnp.asarray(
+            np.stack([t["orig_size"] for t in targets]).astype(np.float32)
+        )
+        post = postprocess_hoi(out, orig)
+        preds.extend(to_image_results(post, subject_category_id))
+        gts.extend(
+            {
+                "filename": t["filename"],
+                "boxes": np.asarray(t["boxes"]),
+                "labels": np.asarray(t["labels"]),
+                "hois": np.asarray(t["hois"]),
+            }
+            for t in targets
+        )
+
+    stats = _run_hico_evaluator(dataset, preds, gts, n_obj, n_verb, use_nms_filter)
+    if save_path is not None:
+        np.savez_compressed(
+            save_path,
+            verb_class_dict=np.asarray(
+                {v: np.asarray(f) for v, f in class_features.items()},
+                dtype=object,
+            ),
+        )
+    nonempty = {v: np.stack(f) for v, f in class_features.items() if f}
+    analysis = analyze(nonempty) if nonempty else {
+        "uniformity": 0.0, "alignment": 0.0, "n_classes": 0, "n_features": 0,
+    }
+    return stats, analysis, class_features
+
+
 def _collect_predictions_sharded(
     apply_fn, params, dataset, feats, n_obj, n_images, batch_size,
     bucket, subject_category_id, zero_shot_subject_filter,

@@ -521,6 +521,9 @@ class RLIPParSeV2(nn.Module):
             "pred_verb_logits": outs[-1][1].astype(jnp.float32),
             "pred_sub_boxes": outs[-1][2],
             "pred_obj_boxes": outs[-1][3],
+            # last verb-decoder layer's hidden states for the uniformity
+            # analysis eval (reference: models/hoi.py:2173)
+            "verb_decoder_out": hs_verb[-1].astype(jnp.float32),
             "lang_states": (
                 multi_lang if multi_lang.ndim == 3 else multi_lang[-1]
             ).astype(jnp.float32),

@@ -161,6 +161,9 @@ class RLIPParSeD(RLIPParSeDA):
             "pred_verb_logits": verb_logits[-1],
             "pred_sub_boxes": sub_boxes[-1],
             "pred_obj_boxes": obj_boxes[-1],
+            # last verb-decoder layer's hidden states for the uniformity
+            # analysis eval (reference: models/hoi.py:2173)
+            "verb_decoder_out": hs_verb[-1].astype(jnp.float32),
         }
         if c.subject_class:
             sub_logits = jnp.stack([s for _, _, s in outs]).astype(jnp.float32)

@@ -517,6 +517,10 @@ class RLIPParSeDA(nn.Module):
             "pred_sub_boxes": sub_boxes[-1],
             "pred_obj_boxes": obj_boxes[-1],
         }
+        # last verb-decoder layer's hidden states: consumed by the
+        # uniformity/alignment analysis eval loop (reference:
+        # models/hoi.py:2173, engine.py:647-655)
+        out["verb_decoder_out"] = hs_verb[-1].astype(jnp.float32)
         out["lang_states"] = enc["lang_states"].astype(jnp.float32)
         if c.subject_class:
             sub_logits = jnp.stack([s for _, _, s in layers_out]).astype(jnp.float32)

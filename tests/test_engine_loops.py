@@ -273,3 +273,47 @@ def test_train_one_epoch_with_text_tokens(tiny_setup, synth_hico):  # noqa: F811
     )
     assert np.isfinite(metrics["loss"])
     assert np.abs(leaf(state.params) - before).max() > 0
+
+
+def test_evaluate_hoi_matching_uniformity(tiny_setup, synth_hico, tmp_path):  # noqa: F811
+    """Uniformity analysis eval: matches predictions to GT and collects
+    per-verb-class verb-decoder features (reference: engine.py:573-697)."""
+    from rlipv2_tpu.engine.loops import evaluate_hoi_matching_uniformity
+
+    cfg, model, params, text_encoder = tiny_setup
+    val_ds = small_vocab_dataset(synth_hico, train=False)
+    remap_small(val_ds)
+    val_ds.rare_triplets = []
+    val_ds.non_rare_triplets = []
+
+    apply_fn = jax.jit(
+        lambda p, px, v, te, tv, n: model.apply(p, px, v, te, tv, n),
+        static_argnums=(5,),
+    )
+    save_path = str(tmp_path / "verb_features.npz")
+    stats, analysis, class_features = evaluate_hoi_matching_uniformity(
+        apply_fn,
+        params,
+        val_ds,
+        cfg,
+        text_encoder,
+        batch_size=2,
+        bucket=(512, 512),
+        max_images=2,
+        max_gt=8,
+        save_path=save_path,
+    )
+    assert 0.0 <= stats["mAP"] <= 1.0
+    n_collected = sum(len(f) for f in class_features.values())
+    # every GT pair of the two eval images contributes one feature per verb
+    assert n_collected > 0
+    assert analysis["n_features"] == n_collected
+    assert analysis["n_classes"] > 0
+    if n_collected >= 2:
+        assert np.isfinite(analysis["uniformity"])
+        assert analysis["alignment"] >= 0.0
+    # features have the decoder width and the dump file loads back
+    any_feats = next(f for f in class_features.values() if f)
+    assert any_feats[0].shape == (cfg.transformer.hidden_dim,)
+    loaded = np.load(save_path, allow_pickle=True)
+    assert "verb_class_dict" in loaded

@@ -72,8 +72,16 @@ def main():
     )(jnp.asarray(loc), attn)
     args = (iy, ix, wy0, wy1, wx0, wx1, value)
 
-    for qb in (256, 512):
-        for wsy in (8, 16):
+    import os
+
+    qbs = tuple(
+        int(x) for x in os.environ.get("AB_QB", "256,512").split(",")
+    )
+    wsys = tuple(
+        int(x) for x in os.environ.get("AB_WSY", "8,16").split(",")
+    )
+    for qb in qbs:
+        for wsy in wsys:
             try:
                 f = jax.jit(
                     lambda *a, qb=qb, wsy=wsy: jnp.sum(
