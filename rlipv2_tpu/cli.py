@@ -110,7 +110,8 @@ def get_parser():
                    help="model-axis size for FSDP param sharding "
                         "(1 = pure data parallel)")
     p.add_argument("--msda_impl", default=None,
-                   choices=[None, "auto", "pallas", "pallas_int8", "xla"],
+                   choices=[None, "auto", "pallas", "pallas_v5",
+                            "pallas_int8", "xla"],
                    help="MSDA kernel implementation; pallas_int8 is the "
                         "quantized inference fast path (~1.3x, <~1% rel. "
                         "error, forward-only — eval use)")

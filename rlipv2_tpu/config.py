@@ -70,8 +70,10 @@ class TransformerConfig:
     # equivalent of the reference's --use_checkpoint family; required to
     # fit bs8 832x1344 training in 16 GB HBM)
     remat_encoder: bool = False
-    # MSDA kernel implementation: auto | pallas | pallas_int8 (opt-in
-    # quantized inference fast path, ~1.3x, <~1% rel. error, fwd-only)
+    # MSDA kernel implementation: auto | pallas | pallas_v5 (sub-slab
+    # split + strip permutation; exact, measured slower than v4 — see
+    # SURVEY §6) | pallas_int8 (opt-in quantized inference fast path,
+    # ~1.3x, <~1% rel. error, fwd-only)
     msda_impl: str = "auto"
     fusion: FusionConfig = field(default_factory=FusionConfig)
 

@@ -1282,3 +1282,104 @@ class DETRHOIhmModel(QPICModel):
             ~downsample_mask(pixel_valid, h, w),
         )
         return out
+
+
+class CoupledDETRHOIModel(QPICModel):
+    """TransformerCoupled-backed DETRHOI (reference
+    models/transformer.py:683-829, unreferenced by any build in the
+    reference but part of its transformer zoo): a vanilla DETR stack
+    whose decoder COUPLES verb prediction into the query stream. After
+    every decoder layer, the normed state's argmax object class gathers
+    a row of the object-verb co-occurrence prior, that row aggregates a
+    verb-semantic table (self-attention over word embeddings WITHOUT
+    softmax, reference transformer.py:780-782), and a sigmoid gate blends
+    the semantic aggregate back into the query state, which feeds BOTH
+    the per-layer verb head and the next decoder layer.
+
+    Like OCN, the word-embedding table and the smoothed co-occurrence
+    prior are parameters so the converter can inject the reference's
+    word2vec table and `datasets/priors/obj_verb_cooccurrence.npz`."""
+
+    word_dim: int = 300
+
+    def setup(self):
+        super().setup()
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        self.verb_word_embedding = self.param(
+            "verb_word_embedding", nn.initializers.normal(1.0),
+            (self.n_verb, self.word_dim), jnp.float32,
+        )
+        self.obj_verb_co = self.param(
+            "obj_verb_co",
+            nn.initializers.constant(1.0 / self.n_verb),
+            (self.n_obj + 1, self.n_verb), jnp.float32,
+        )
+        self.semantic_q = nn.Dense(t.hidden_dim, dtype=dt, name="semantic_q")
+        self.semantic_k = nn.Dense(t.hidden_dim, dtype=dt, name="semantic_k")
+        self.semantic_v = nn.Dense(t.hidden_dim, dtype=dt, name="semantic_v")
+        self.semantic_proj_res = nn.Dense(
+            t.hidden_dim, dtype=dt, name="semantic_proj_res"
+        )
+        self.semantic_gate = nn.Dense(
+            t.hidden_dim, dtype=dt, name="semantic_gate"
+        )
+        self.verb_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="verb_norm")
+        self.dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="dec_norm")
+
+    def __call__(self, pixels, pixel_valid, deterministic: bool = True):
+        c = self.cfg
+        t = c.transformer
+        dt = self.compute_dtype
+        B = pixels.shape[0]
+        memory, pos, valid = self._encode(pixels, pixel_valid, deterministic)
+        qpos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None],
+            (B, c.num_queries, t.hidden_dim),
+        )
+
+        # verb-semantic table: un-softmaxed self-attention + residual
+        # projection (reference transformer.py:780-782)
+        emb = self.verb_word_embedding.astype(dt)
+        att = jnp.einsum("ac,bc->ab", self.semantic_q(emb), self.semantic_k(emb))
+        semantic = jax.nn.relu(att @ self.semantic_v(emb)) + self.semantic_proj_res(emb)
+
+        tgt = jnp.zeros_like(qpos)
+        hs, obj_logits_l, verb_logits_l = [], [], []
+        for layer in self.dec_layers:
+            tgt = layer(tgt, qpos, memory, pos, valid, deterministic)
+            normed = self.dec_norm(tgt)
+            obj_logits = self.obj_class_embed(normed).astype(jnp.float32)
+            obj_idx = jnp.argmax(obj_logits, axis=-1)  # (B, nq)
+            co = jnp.take(self.obj_verb_co, obj_idx, axis=0)  # (B, nq, V)
+            semantic_aug = jnp.einsum("bqv,vc->bqc", co.astype(dt), semantic)
+            gate = jax.nn.sigmoid(self.semantic_gate(normed))
+            tgt = gate * semantic_aug + normed  # feeds the next layer too
+            verb_logits = self.verb_class_embed(
+                self.verb_norm(tgt)
+            ).astype(jnp.float32)
+            hs.append(tgt)
+            obj_logits_l.append(obj_logits)
+            verb_logits_l.append(verb_logits)
+
+        hs = jnp.stack(hs)
+        sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs)).astype(jnp.float32)
+        obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs)).astype(jnp.float32)
+        out = {
+            "pred_obj_logits": obj_logits_l[-1],
+            "pred_verb_logits": verb_logits_l[-1],
+            "pred_sub_boxes": sub_boxes[-1],
+            "pred_obj_boxes": obj_boxes[-1],
+        }
+        if c.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_obj_logits": obj_logits_l[l],
+                    "pred_verb_logits": verb_logits_l[l],
+                    "pred_sub_boxes": sub_boxes[l],
+                    "pred_obj_boxes": obj_boxes[l],
+                }
+                for l in range(t.dec_layers - 1)
+            ]
+        return out

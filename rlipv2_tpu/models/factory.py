@@ -66,8 +66,9 @@ def build_model(cfg: ModelConfig):
             "seq_detr_hoi": SeqDETRHOIModel,
             "stochastic_detr_hoi": StochasticDETRHOIModel,
         }[v](cfg)
-    if v in ("iterative_detr_hoi", "detr_hoi_hm"):
+    if v in ("iterative_detr_hoi", "detr_hoi_hm", "coupled_detr_hoi"):
         from rlipv2_tpu.models.closed_vocab import (
+            CoupledDETRHOIModel,
             DETRHOIhmModel,
             IterativeDETRHOIModel,
         )
@@ -75,6 +76,7 @@ def build_model(cfg: ModelConfig):
         return {
             "iterative_detr_hoi": IterativeDETRHOIModel,
             "detr_hoi_hm": DETRHOIhmModel,
+            "coupled_detr_hoi": CoupledDETRHOIModel,
         }[v](cfg)
     if v == "qahoi_two_stage":
         from rlipv2_tpu.models.closed_vocab import QAHOITwoStageModel

