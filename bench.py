@@ -52,6 +52,21 @@ _T0 = time.perf_counter()
 _CACHE_PATH = "/root/repo/.bench_cache.json"
 
 
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+_SHA = _git_sha()
+
+
 def _mark_primary_done() -> None:
     global _T0
     _T0 = time.perf_counter()
@@ -62,6 +77,7 @@ def _elapsed() -> float:
 
 
 def _emit(record: dict) -> None:
+    record["git_sha"] = _SHA
     print(json.dumps(record), flush=True)
     try:  # persist so a later timed-out run can still print a real number
         with open(_CACHE_PATH, "w") as f:
@@ -74,11 +90,22 @@ def _emit_cached_provisional() -> None:
     """Before ANY compile: re-emit the last successful measurement (taken
     on this same chip) marked stale. If the driver's timeout kills this
     run mid-compile, the provisional line stands (the driver parses the
-    last complete JSON line); a fresh measurement overwrites it."""
+    last complete JSON line); a fresh measurement overwrites it.
+
+    SHA-guarded (VERDICT r3 weak #5): a cached line measured on DIFFERENT
+    code must never stand as this run's number — only re-emit when the
+    cached record's git_sha matches current HEAD."""
     try:
         with open(_CACHE_PATH) as f:
             record = json.load(f)
     except (OSError, ValueError):
+        return
+    if record.get("git_sha") != _SHA:
+        print(
+            f"bench cache is from {record.get('git_sha', 'unknown')[:12]}, "
+            f"HEAD is {_SHA[:12]}: discarding provisional line",
+            file=sys.stderr,
+        )
         return
     record = dict(record)
     record["stale"] = True

@@ -726,8 +726,10 @@ class OCNModel(QPICModel):
             hs.append(tgt)
         hs = jnp.stack(hs)  # (layers, B, nq, C)
 
-        # word-embedding table, L2-normalized (reference norm_tensor)
-        emb = self.verb_word_embedding
+        # word-embedding table, L2-normalized (reference norm_tensor).
+        # Frozen buffer in the reference (register_buffer) — param here
+        # only for converter injection; stop_gradient preserves that.
+        emb = jax.lax.stop_gradient(self.verb_word_embedding)
         emb = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
         )
@@ -739,7 +741,9 @@ class OCNModel(QPICModel):
 
         # statistical-prior aggregation at the argmax object class
         obj_idx = jnp.argmax(obj_logits, axis=-1)  # (layers, B, nq)
-        co = jnp.take(self.obj_verb_co, obj_idx, axis=0)  # (l, B, nq, V)
+        co = jnp.take(
+            jax.lax.stop_gradient(self.obj_verb_co), obj_idx, axis=0
+        )  # (l, B, nq, V)
         semantic_aug = jnp.einsum(
             "lbqv,vc->lbqc", co.astype(dt), semantic
         )
@@ -1340,8 +1344,12 @@ class CoupledDETRHOIModel(QPICModel):
         )
 
         # verb-semantic table: un-softmaxed self-attention + residual
-        # projection (reference transformer.py:780-782)
-        emb = self.verb_word_embedding.astype(dt)
+        # projection (reference transformer.py:780-782). The word2vec
+        # table and the co-occurrence prior are frozen buffers in the
+        # reference (register_buffer, transformer.py:760,765) — they are
+        # params here only so the converter can inject them; stop_gradient
+        # keeps training from drifting them away from the injected values.
+        emb = jax.lax.stop_gradient(self.verb_word_embedding).astype(dt)
         att = jnp.einsum("ac,bc->ab", self.semantic_q(emb), self.semantic_k(emb))
         semantic = jax.nn.relu(att @ self.semantic_v(emb)) + self.semantic_proj_res(emb)
 
@@ -1352,17 +1360,26 @@ class CoupledDETRHOIModel(QPICModel):
             normed = self.dec_norm(tgt)
             obj_logits = self.obj_class_embed(normed).astype(jnp.float32)
             obj_idx = jnp.argmax(obj_logits, axis=-1)  # (B, nq)
-            co = jnp.take(self.obj_verb_co, obj_idx, axis=0)  # (B, nq, V)
+            co = jnp.take(
+                jax.lax.stop_gradient(self.obj_verb_co), obj_idx, axis=0
+            )  # (B, nq, V)
             semantic_aug = jnp.einsum("bqv,vc->bqc", co.astype(dt), semantic)
             gate = jax.nn.sigmoid(self.semantic_gate(normed))
             tgt = gate * semantic_aug + normed  # feeds the next layer too
             verb_logits = self.verb_class_embed(
                 self.verb_norm(tgt)
             ).astype(jnp.float32)
-            hs.append(tgt)
+            # the reference's intermediate stack holds norm(layer_output)
+            # PRE-blend per layer; only the final entry is replaced by
+            # norm(output_aug) post-blend (intermediate.pop()/append(),
+            # reference transformer.py:799-800,820-824) — box heads read
+            # this stack, so the blend never reaches intermediate-layer
+            # box predictions
+            hs.append(normed)
             obj_logits_l.append(obj_logits)
             verb_logits_l.append(verb_logits)
 
+        hs[-1] = self.dec_norm(tgt)
         hs = jnp.stack(hs)
         sub_boxes = jax.nn.sigmoid(self.sub_bbox_embed(hs)).astype(jnp.float32)
         obj_boxes = jax.nn.sigmoid(self.obj_bbox_embed(hs)).astype(jnp.float32)

@@ -62,8 +62,12 @@ SUB_STRIDE = 127  # sub-slab s owns ix in [127*s, 127*s + 126]
 def _n_sub(w: int) -> int:
     if w <= LANE:
         return 1
-    # cover every ix with nonzero weight (ix <= w - 2)
-    return -(-(w - 1) // SUB_STRIDE)
+    # cover every ix with nonzero weight: ix = w - 1 is a valid left
+    # corner (x0 <= W-1 is in-bounds with wx0 > 0 when x lands exactly
+    # on the last column), so the slabs must own ix in [0, w-1]. Using
+    # ceil((w-1)/127) under-covered w ≡ 1 (mod 127) widths (e.g. 255):
+    # ix = w-1 belonged to no slab and its sample was silently zeroed.
+    return -(-w // SUB_STRIDE)
 
 
 def _sub_plan(shapes, wsy):

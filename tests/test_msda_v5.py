@@ -33,6 +33,10 @@ WIDE_CASES = [
     (((6, 168), (3, 84)), 1, 2, 8, 2, 1260, 1, (-0.3, 1.3), False),
     (((12, 168),), 1, 1, 8, 3, 17, 2, (-0.5, 1.5), False),  # decoder-ish
     (((16, 260),), 1, 1, 8, 2, 4160, 3, (0.0, 1.0), True),  # 3 slabs
+    # w = 255 ≡ 1 (mod 127): ix = w-1 must be owned by the last slab
+    # (regression: ceil((w-1)/127) under-covered it and zeroed the
+    # right-edge sample; biased loc_range forces right-edge sampling)
+    (((4, 255),), 1, 1, 8, 2, 1020, 4, (0.9, 1.05), False),
 ]
 
 
@@ -79,6 +83,30 @@ def test_grid_perm_is_a_permutation():
     # narrow shapes: no permutation
     assert _grid_perm(((10, 12), (5, 6)), 64, 32) is None
     assert _n_sub(168) == 2 and _n_sub(128) == 1 and _n_sub(260) == 3
+    # w ≡ 1 (mod 127): the last slab must own ix = w-1
+    assert _n_sub(255) == 3 and _n_sub(129) == 2
+
+
+def test_v5_exact_right_edge_column():
+    """Samples landing exactly on column W-1 (x0 = W-1, wx0 = 1) of a
+    w ≡ 1 (mod 127) level must not be zeroed by slab routing."""
+    shapes = ((4, 255),)
+    W = 255
+    rng = np.random.RandomState(11)
+    B, H, D, P, Q = 1, 1, 8, 2, 64
+    S = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    # x = W-1 exactly: loc_x = (W - 0.5) / W; y mid-row
+    loc = np.zeros((B, Q, H, 1, P, 2), np.float32)
+    loc[..., 0] = (W - 0.5) / W
+    loc[..., 1] = 0.5
+    attn = rng.rand(B, Q, H, 1, P).astype(np.float32)
+    attn /= attn.sum(axis=(-2, -1), keepdims=True)
+    loc, attn = jnp.asarray(loc), jnp.asarray(attn)
+    ox = _ms_deform_attn_xla(value, shapes, loc, attn)
+    assert float(jnp.abs(ox).max()) > 0  # the oracle sees the sample
+    out = _run_v5(shapes, value, loc, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ox), atol=1e-4)
 
 
 def test_v5_grad_path_matches_xla():

@@ -384,6 +384,49 @@ def test_coupled_detrhoi():
     assert isinstance(build_model(cfg), CoupledDETRHOIModel)
     out = run_closed_vocab(model, cfg)
     check_closed(out, cfg, nq)
-    # the co-occurrence prior must flow into the verb logits: zeroing it
-    # at one object class changes verbs only through the gate blend
-    assert np.isfinite(np.asarray(out["pred_verb_logits"])).all()
+    # the co-occurrence prior must flow into the verb logits: perturbing
+    # the whole co table changes verbs (through the semantic gate blend)
+    # but NOT the first layer's object logits, which are computed
+    # pre-blend (later layers consume the blended stream, so only the
+    # first layer is blend-independent)
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    valid = jnp.ones((1, 64, 64), bool)
+    params = model.init(jax.random.PRNGKey(0), pixels, valid)
+    base = model.apply(params, pixels, valid)
+    p2 = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    flat = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 3.0 + 0.01
+        if any(getattr(k, "key", None) == "obj_verb_co" for k in path)
+        else x,
+        p2,
+    )
+    pert = model.apply(flat, pixels, valid)
+    dv = float(
+        np.abs(
+            np.asarray(pert["pred_verb_logits"])
+            - np.asarray(base["pred_verb_logits"])
+        ).max()
+    )
+    do = float(
+        np.abs(
+            np.asarray(pert["aux_outputs"][0]["pred_obj_logits"])
+            - np.asarray(base["aux_outputs"][0]["pred_obj_logits"])
+        ).max()
+    )
+    assert dv > 1e-5, "co-occurrence prior does not reach verb logits"
+    assert do == 0.0, "prior must not affect layer-0 pre-blend obj logits"
+    # buffer semantics: grads must not flow into the frozen prior/table
+    # (reference register_buffer, transformer.py:760,765)
+    def loss(p):
+        o = model.apply(p, pixels, valid)
+        return jnp.sum(o["pred_verb_logits"] ** 2)
+
+    g = jax.grad(loss)(params)
+    gflat = {
+        jax.tree_util.keystr(path): x
+        for path, x in jax.tree_util.tree_flatten_with_path(g)[0]
+    }
+    for key, gx in gflat.items():
+        if "obj_verb_co" in key or "verb_word_embedding" in key:
+            assert float(np.abs(np.asarray(gx)).max()) == 0.0, key
