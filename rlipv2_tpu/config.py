@@ -131,6 +131,11 @@ class TrainConfig:
     ema: bool = False
     ema_decay: float = 0.9997
     seed: int = 42
+    # fine-tune parameter-freezing regimes (reference: main.py:632-688):
+    # "frozen_vision" freezes backbone stages 1-2; "unfrozen_params"
+    # trains ONLY the text encoder; "frozen_detection" freezes backbone +
+    # ALIF encoder + ho decoder + input projections. None = train all.
+    freeze_regime: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,43 @@ def numpyify(state_dict) -> dict:
     return out
 
 
+def _stack_trees(trees):
+    """Stack structurally identical nested dicts of arrays into one tree
+    with a leading layer axis — the nn.scan param layout the models use
+    for their identical-layer stacks (models/roberta.py RobertaModel
+    "layers", models/deformable.py ALIFEncoder "blocks",
+    DeformableEncoder "layers")."""
+    out = {}
+    for k in trees[0]:
+        vals = [t[k] for t in trees]
+        if isinstance(vals[0], dict):
+            out[k] = _stack_trees(vals)
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+def group_alif_blocks(enc: dict, enc_layers: int, n_fusion: int) -> dict:
+    """Regroup flat per-layer ALIF params (`layer_{i}` global deformable
+    layers + optional `vl_fuse_{f}` / `lang_layer_{f}` fusion params) into
+    the scanned `blocks` layout: one stacked super-block of
+    [vl_fuse, lang_layer, layer_0..interval-1] per fusion. Missing fusion
+    subtrees (detector warm-starts seed only the deformable layers) are
+    simply absent and left to init by merge_param_trees."""
+    interval = enc_layers // n_fusion
+    blocks = []
+    for b in range(n_fusion):
+        blk: dict = {}
+        if f"vl_fuse_{b}" in enc:
+            blk["vl_fuse"] = enc[f"vl_fuse_{b}"]
+        if f"lang_layer_{b}" in enc:
+            blk["lang_layer"] = enc[f"lang_layer_{b}"]
+        for j in range(interval):
+            blk[f"layer_{j}"] = enc[f"layer_{b * interval + j}"]
+        blocks.append(blk)
+    return {"blocks": _stack_trees(blocks)}
+
+
 def _linear(sd, prefix):
     return {
         "kernel": sd[f"{prefix}.weight"].T.astype(np.float32),
@@ -64,9 +101,10 @@ def convert_roberta(sd: Mapping[str, np.ndarray], num_layers: int = 12, prefix: 
         }
     }
     sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
-    for i in range(num_layers):
-        p = f"encoder.layer.{i}"
-        params[f"layer_{i}"] = convert_roberta_layer(sub, p)
+    params["layers"] = _stack_trees([
+        convert_roberta_layer(sub, f"encoder.layer.{i}")
+        for i in range(num_layers)
+    ])
     if prefix + "pooler.dense.weight" in sd:
         params["pooler_dense"] = _linear(sub, "pooler.dense")
     return params
@@ -236,7 +274,7 @@ def convert_alif_encoder(sd, enc_layers, n_fusion, prefix="transformer.encoder."
             if f"{vp}.{tname}.weight" in sd:
                 fuse[ours] = _layernorm(sd, f"{vp}.{tname}")
         enc[f"vl_fuse_{f}"] = fuse
-    return enc
+    return group_alif_blocks(enc, enc_layers, n_fusion)
 
 
 def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
@@ -258,11 +296,19 @@ def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
     params: dict = {}
 
     # --- backbone (reference keys: backbone.0.body.*) ---
-    from rlipv2_tpu.models.resnet import STAGE_BLOCKS
+    if cfg.backbone.name.startswith("resnet"):
+        from rlipv2_tpu.models.resnet import STAGE_BLOCKS
 
-    params["backbone"] = convert_resnet(
-        sd, blocks=STAGE_BLOCKS[cfg.backbone.name], prefix="backbone.0.body.",
-    )
+        params["backbone"] = convert_resnet(
+            sd, blocks=STAGE_BLOCKS[cfg.backbone.name],
+            prefix="backbone.0.body.",
+        )
+    else:  # Swin (reference models/swin/backbone.py:103-205 key space)
+        from rlipv2_tpu.models.swin import SWIN_SPECS
+
+        params["backbone"] = convert_swin(
+            sd, SWIN_SPECS[cfg.backbone.name], prefix="backbone.0.body.",
+        )
 
     # --- input projections: input_proj.{i}.0 conv + .1 GroupNorm ---
     for i in range(t.num_feature_levels):
@@ -493,7 +539,9 @@ def convert_dab_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
     params["refpoint_embed"] = ref
     params["level_embed"] = sd["transformer.level_embed"].astype(np.float32)
 
-    # plain DDETR encoder layers -> ALIF deformable layers
+    # plain DDETR encoder layers -> ALIF deformable layers (scanned
+    # blocks layout; the fusion/language subtrees stay at init, so the
+    # overlay only carries the stacked layer_{j} leaves)
     enc: dict = {}
     for i in range(t.enc_layers):
         p = f"transformer.encoder.layers.{i}"
@@ -506,8 +554,10 @@ def convert_dab_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
             "linear1": _linear(sd, f"{p}.linear1"),
             "linear2": _linear(sd, f"{p}.linear2"),
         }
-    if enc:
-        params["encoder"] = enc
+    if len(enc) == t.enc_layers:
+        params["encoder"] = group_alif_blocks(
+            enc, t.enc_layers, t.enc_layers // t.fusion.fusion_interval
+        )
 
     def decoder_from_detector():
         dec: dict = {}
@@ -606,8 +656,10 @@ def convert_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
             "linear1": _linear(sd, f"{p}.linear1"),
             "linear2": _linear(sd, f"{p}.linear2"),
         }
-    if enc:
-        params["encoder"] = enc
+    if len(enc) == t.enc_layers:
+        params["encoder"] = group_alif_blocks(
+            enc, t.enc_layers, t.enc_layers // t.fusion.fusion_interval
+        )
 
     dec: dict = {}
     for i in range(t.dec_layers):

@@ -74,6 +74,7 @@ def compute_valid_ratios(valid_masks: Sequence[jnp.ndarray]) -> jnp.ndarray:
 class DeformableEncoderLayer(nn.Module):
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
+    scan_mode: bool = False  # return (carry, ys) for nn.scan
 
     @nn.compact
     def __call__(
@@ -108,11 +109,18 @@ class DeformableEncoderLayer(nn.Module):
         ff = nn.Dropout(c.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(c.hidden_dim, dtype=self.dtype, name="linear2")(ff)
         src = src + nn.Dropout(c.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
+        if self.scan_mode:
+            return src, None
+        return src
 
 
 class DeformableEncoder(nn.Module):
-    """Plain DDETR encoder (fusion_type == no_fusion path)."""
+    """Plain DDETR encoder (fusion_type == no_fusion path).
+
+    The identical layers run under nn.scan (params stacked on a leading
+    (enc_layers, ...) axis at "layers"): one traced layer body instead of
+    enc_layers HLO copies (VERDICT r3 next #1b)."""
 
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -120,16 +128,116 @@ class DeformableEncoder(nn.Module):
     @nn.compact
     def __call__(self, src, spatial_shapes, valid_ratios, pos, valid_mask, deterministic=True):
         refs = encoder_reference_points(spatial_shapes, valid_ratios, src.dtype)
-        out = src
-        for i in range(self.cfg.enc_layers):
-            out = DeformableEncoderLayer(self.cfg, self.dtype, name=f"layer_{i}")(
-                out, pos, refs, spatial_shapes, valid_mask, deterministic
-            )
+        import os
+
+        Scan = nn.scan(
+            DeformableEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 5,
+            length=self.cfg.enc_layers,
+            unroll=(
+                self.cfg.enc_layers
+                if os.environ.get("RLIPV2_SCAN_UNROLL") == "1"
+                else 1
+            ),
+        )
+        out, _ = Scan(self.cfg, self.dtype, scan_mode=True, name="layers")(
+            src, pos, refs, spatial_shapes, valid_mask, deterministic
+        )
         return out
 
 
+class ALIFBlock(nn.Module):
+    """One ALIF super-block: VLFuse bi-attention + ONE RobertaLayer on the
+    language path + `fusion_interval` deformable layers.
+
+    This is the repeating unit of the reference's ALIF encoder
+    (models/deformable_transformer.py:791-884: fusion fires before every
+    layer with idx % fusion_interval == 0). nn.scan traces it ONCE with
+    params stacked on a leading (enc_layers // fusion_interval, ...) axis,
+    shrinking the encoder HLO ~n_blocks-fold (VERDICT r3 next #1b). Carry
+    is (visual tokens, language hidden); ys collects the per-fusion
+    language state for lang_aux_loss."""
+
+    cfg: TransformerConfig
+    text_cfg: TextEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        carry,  # (out (B,S,C), lang (B,T,l_dim))
+        pos,
+        refs,
+        spatial_shapes,
+        valid_mask,
+        lang_valid,
+        last_start,  # static int: flattened offset of the last level
+        deterministic,
+    ):
+        out, lang = carry
+        c = self.cfg
+        f = c.fusion
+
+        if f.fusion_last_vis:
+            v_part = out[:, last_start:]
+            pos_part = pos[:, last_start:]
+            maskv_part = valid_mask[:, last_start:]
+        else:
+            v_part, pos_part, maskv_part = out, pos, valid_mask
+
+        block = BiAttentionBlock(
+            cfg=f,
+            v_dim=c.hidden_dim,
+            l_dim=self.text_cfg.hidden_size,
+            num_feature_levels=c.num_feature_levels,
+            dtype=self.dtype,
+            name="vl_fuse",
+        )
+        if f.use_checkpoint_fusion:
+            fused_v, lang = nn.remat(type(block).__call__)(
+                block, v_part, lang, pos_part, lang_valid, maskv_part,
+                deterministic,
+            )
+        else:
+            fused_v, lang = block(
+                v_part, lang, pos_part, lang_valid, maskv_part, deterministic
+            )
+        if f.fusion_last_vis:
+            out = jnp.concatenate([out[:, :last_start], fused_v], axis=1)
+        else:
+            out = fused_v
+
+        # sparsified language path: ONE roberta layer per fusion, with the
+        # reference's additive-bool mask quirk
+        lang = RobertaLayer(self.text_cfg, self.dtype, name="lang_layer")(
+            lang, alif_additive_bool_mask(lang_valid, self.dtype), deterministic
+        )
+
+        for j in range(f.fusion_interval):
+            layer = DeformableEncoderLayer(c, self.dtype, name=f"layer_{j}")
+            if c.remat_encoder:
+                out = nn.remat(
+                    type(layer).__call__,
+                    static_argnums=(4, 6),  # spatial_shapes, deterministic
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "msda_out"
+                    ),
+                )(layer, out, pos, refs, spatial_shapes, valid_mask,
+                  deterministic)
+            else:
+                out = layer(
+                    out, pos, refs, spatial_shapes, valid_mask, deterministic
+                )
+        return (out, lang), lang
+
+
 class ALIFEncoder(nn.Module):
-    """Interleaved [VLFuse + RobertaLayer] / deformable-layer encoder."""
+    """Interleaved [VLFuse + RobertaLayer] / deformable-layer encoder,
+    scanned over identical super-blocks (requires enc_layers divisible by
+    fusion_interval, which every reference config satisfies: canonical
+    enc 6 / interval 2)."""
 
     cfg: TransformerConfig
     text_cfg: TextEncoderConfig
@@ -149,77 +257,52 @@ class ALIFEncoder(nn.Module):
     ):
         c = self.cfg
         f = c.fusion
+        assert c.enc_layers % f.fusion_interval == 0, (
+            f"ALIF scan needs enc_layers ({c.enc_layers}) divisible by "
+            f"fusion_interval ({f.fusion_interval})"
+        )
+        n_blocks = c.enc_layers // f.fusion_interval
         refs = encoder_reference_points(spatial_shapes, valid_ratios, src.dtype)
 
         # static offset of the last feature level in the flattened axis
         sizes = [h * w for h, w in spatial_shapes]
         last_start = sum(sizes[:-1])
 
-        out = src
-        lang = lang_hidden
-        lang_states = []
-        fusion_idx = 0
-        for idx in range(c.enc_layers):
-            if idx % f.fusion_interval == 0:
-                if f.fusion_last_vis:
-                    v_part = out[:, last_start:]
-                    pos_part = pos[:, last_start:]
-                    maskv_part = valid_mask[:, last_start:]
-                else:
-                    v_part, pos_part, maskv_part = out, pos, valid_mask
+        import os
 
-                block = BiAttentionBlock(
-                    cfg=f,
-                    v_dim=c.hidden_dim,
-                    l_dim=self.text_cfg.hidden_size,
-                    num_feature_levels=c.num_feature_levels,
-                    dtype=self.dtype,
-                    name=f"vl_fuse_{fusion_idx}",
-                )
-                if f.use_checkpoint_fusion:
-                    fused_v, lang = nn.remat(type(block).__call__)(
-                        block, v_part, lang, pos_part, lang_valid, maskv_part,
-                        deterministic,
-                    )
-                else:
-                    fused_v, lang = block(
-                        v_part, lang, pos_part, lang_valid, maskv_part, deterministic
-                    )
-                if f.fusion_last_vis:
-                    out = jnp.concatenate([out[:, :last_start], fused_v], axis=1)
-                else:
-                    out = fused_v
-
-                # sparsified language path: ONE roberta layer per fusion,
-                # with the reference's additive-bool mask quirk
-                lang = RobertaLayer(
-                    self.text_cfg, self.dtype, name=f"lang_layer_{fusion_idx}"
-                )(lang, alif_additive_bool_mask(lang_valid, self.dtype), deterministic)
-                lang_states.append(lang)
-                fusion_idx += 1
-
-            layer = DeformableEncoderLayer(c, self.dtype, name=f"layer_{idx}")
-            if c.remat_encoder:
-                out = nn.remat(
-                    type(layer).__call__,
-                    static_argnums=(4, 6),  # spatial_shapes, deterministic
-                    policy=jax.checkpoint_policies.save_only_these_names(
-                        "msda_out"
-                    ),
-                )(layer, out, pos, refs, spatial_shapes, valid_mask,
-                  deterministic)
-            else:
-                out = layer(
-                    out, pos, refs, spatial_shapes, valid_mask, deterministic
-                )
+        Scan = nn.scan(
+            ALIFBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 7,
+            length=n_blocks,
+            # see RobertaModel: RLIPV2_SCAN_UNROLL=1 unrolls for honest
+            # flop counting in bench.py's MFU line
+            unroll=(
+                n_blocks
+                if os.environ.get("RLIPV2_SCAN_UNROLL") == "1"
+                else 1
+            ),
+        )
+        (out, _), lang_states = Scan(
+            c, self.text_cfg, self.dtype, name="blocks"
+        )(
+            (src, lang_hidden),
+            pos,
+            refs,
+            spatial_shapes,
+            valid_mask,
+            lang_valid,
+            last_start,
+            deterministic,
+        )
+        # lang_states: (n_blocks, B, T, l_dim)
 
         if f.lang_aux_loss:
-            if f.fusion_interval == 2:
-                multi_lang = jnp.stack(lang_states, axis=0)  # (n_fusion, B, T, l_dim)
-            elif f.fusion_interval == 1:
-                multi_lang = jnp.stack(lang_states[::2], axis=0)
+            if f.fusion_interval == 1:
+                multi_lang = lang_states[::2]
             else:
-                multi_lang = jnp.stack(lang_states, axis=0)
+                multi_lang = lang_states
         else:
             multi_lang = lang_states[-1]
 

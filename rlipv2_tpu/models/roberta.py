@@ -87,10 +87,16 @@ class RobertaSelfAttention(nn.Module):
 
 
 class RobertaLayer(nn.Module):
-    """One transformer encoder layer with HF post-LN structure."""
+    """One transformer encoder layer with HF post-LN structure.
+
+    scan_mode=True returns the (carry, ys) pair nn.scan expects so the
+    12-layer stack traces ONCE (stacked params on a leading layer axis)
+    instead of unrolling 12 copies into the HLO — the single biggest
+    compile-time lever in the flagship graph (VERDICT r3 next #1b)."""
 
     cfg: TextEncoderConfig
     dtype: jnp.dtype = jnp.float32
+    scan_mode: bool = False
 
     @nn.compact
     def __call__(self, hidden, attn_mask=None, deterministic=True):
@@ -111,6 +117,8 @@ class RobertaLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_ln")(
             hidden + out
         )
+        if self.scan_mode:
+            return hidden, None
         return hidden
 
 
@@ -148,8 +156,29 @@ class RobertaModel(nn.Module):
         c = self.cfg
         h = RobertaEmbeddings(c, self.dtype, name="embeddings")(input_ids, deterministic)
         ext = extended_attention_mask(attention_mask, self.dtype)
-        for i in range(c.num_layers):
-            h = RobertaLayer(c, self.dtype, name=f"layer_{i}")(h, ext, deterministic)
+        # lax.scan over the identical layers: params stacked on a leading
+        # (num_layers, ...) axis under "layers" (converter:
+        # engine/convert.py stack_layer_params), ONE traced layer body
+        import os
+
+        ScanStack = nn.scan(
+            RobertaLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=c.num_layers,
+            # RLIPV2_SCAN_UNROLL=1 (trace-time knob): emit the unrolled
+            # body so XLA cost analysis counts every layer (bench.py MFU);
+            # default stays the rolled loop for compile speed
+            unroll=(
+                c.num_layers
+                if os.environ.get("RLIPV2_SCAN_UNROLL") == "1"
+                else 1
+            ),
+        )
+        h, _ = ScanStack(c, self.dtype, scan_mode=True, name="layers")(
+            h, ext, deterministic
+        )
         pooled = None
         if self.add_pooler:
             pooled = nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler_dense")(h[:, 0])

@@ -254,8 +254,8 @@ def test_train_one_epoch_with_text_tokens(tiny_setup, synth_hico):  # noqa: F811
 
     def leaf(p):
         return np.asarray(
-            p["params"]["text_encoder"]["layer_0"]["attention_self"]
-            ["query"]["kernel"]
+            p["params"]["text_encoder"]["layers"]["attention_self"]
+            ["query"]["kernel"][0]
         )
 
     before = leaf(params)

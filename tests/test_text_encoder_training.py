@@ -110,8 +110,8 @@ def test_text_encoder_receives_gradients(setup):
 
     def leaf(params):
         return np.asarray(
-            params["params"]["text_encoder"]["layer_0"]
-            ["attention_self"]["query"]["kernel"]
+            params["params"]["text_encoder"]["layers"]
+            ["attention_self"]["query"]["kernel"][0]
         )
 
     before = leaf(setup["params"])

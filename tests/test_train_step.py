@@ -153,3 +153,83 @@ def test_gradient_accumulation_matches_mean():
     _, mk = stepk(state3, stacked)
     expect = (float(m1["loss"]) + float(m2["loss"])) / 2
     assert abs(float(mk["loss"]) - expect) < 2e-3 * max(1.0, abs(expect))
+
+
+def test_freeze_regimes():
+    """Fine-tune freezing regimes (reference: main.py:632-688): frozen
+    groups stay bit-identical after a train step, unfrozen groups move."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    cfg = tiny_config()
+    model = RLIPParSeDA(cfg)
+    rng = np.random.RandomState(5)
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    # token path so real gradients reach the text encoder (zero-grad
+    # AdamW's lr*wd*p drift underflows float32 at these magnitudes)
+    batch = make_batch(rng, cfg, B=2)._replace(
+        token_ids=jnp.asarray(rng.randint(5, 50, (T, 6)).astype(np.int32)),
+        token_mask=jnp.ones((T, 6), jnp.int32),
+    )
+    params = init_model_params(
+        model,
+        jax.random.PRNGKey(0),
+        batch.pixels[:1], batch.pixel_valid[:1],
+        batch.text_emb[:1], batch.text_valid[:1],
+        cfg.max_obj_texts,
+        batch.token_ids, batch.token_mask,
+    )
+    criterion = SetCriterionHOI(LossConfig())
+
+    def run(regime):
+        tcfg = TrainConfig(
+            lr=1e-2, lr_text_encoder=1e-2, ema=False, freeze_regime=regime
+        )
+        p = jtu.tree_map(jnp.copy, params)
+        state, tx = create_train_state(p, tcfg, steps_per_epoch=10)
+        step = make_train_step(
+            model, criterion, tx, cfg, tcfg, mesh=None, deterministic=True,
+            text_tokens=True,
+        )
+        state, _ = step(state, batch)
+        return jax.device_get(state.params["params"])
+
+    def delta(tree, path_parts):
+        sub = tree
+        for k in path_parts:
+            sub = sub[k]
+        return max(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(
+                jtu.tree_leaves(sub),
+                jtu.tree_leaves(_sub(params["params"], path_parts)),
+            )
+        )
+
+    def _sub(tree, parts):
+        for k in parts:
+            tree = tree[k]
+        return tree
+
+    # frozen_vision: backbone stage 2 frozen, stage 3 + decoders train
+    after = run("frozen_vision")
+    assert delta(after, ("backbone", "layer2_block0")) == 0.0
+    assert delta(after, ("backbone", "layer3_block0")) > 0.0
+    assert delta(after, ("ho_decoder",)) > 0.0
+
+    # unfrozen_params: ONLY the text encoder trains
+    after = run("unfrozen_params")
+    assert delta(after, ("text_encoder",)) > 0.0
+    assert delta(after, ("ho_decoder",)) == 0.0
+    assert delta(after, ("encoder",)) == 0.0
+    assert delta(after, ("backbone", "layer3_block0")) == 0.0
+
+    # frozen_detection: backbone/encoder/ho_decoder/input_proj frozen,
+    # verb decoder + heads train
+    after = run("frozen_detection")
+    assert delta(after, ("backbone", "layer3_block0")) == 0.0
+    assert delta(after, ("encoder",)) == 0.0
+    assert delta(after, ("ho_decoder",)) == 0.0
+    assert delta(after, ("input_proj_0",)) == 0.0
+    assert delta(after, ("verb_decoder",)) > 0.0
