@@ -1,0 +1,174 @@
+"""Metric-level error bound for the int8 MSDA inference path.
+
+The int8 kernel's existing contract is tensor-level (~1-2% rel. error,
+tests/test_msda_v4.py). Promoting it to the eval default needs a bound at
+the JUDGED metric: same model, same weights, same images -> PostProcessHOI
+-> HICOEvaluator, exact vs int8, assert the mAP delta is < 0.1 points
+(VERDICT r3 next #4). The GT fixture is canned from the exact path's own
+top detections, so the mAP sits mid-range (neither 0 nor saturated) and a
+score/box perturbation moves it.
+
+Reference contracts: PostProcessHOI /root/reference/models/hoi.py:4769-4873,
+mAP protocol /root/reference/datasets/hico_eval.py:351-394.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: F401,E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from rlipv2_tpu.config import (  # noqa: E402
+    FusionConfig,
+    ModelConfig,
+    TextEncoderConfig,
+    TransformerConfig,
+)
+from rlipv2_tpu.eval.hico_eval import HICOEvaluator  # noqa: E402
+from rlipv2_tpu.eval.postprocess import postprocess_hoi, to_image_results  # noqa: E402
+from rlipv2_tpu.models.parseda import RLIPParSeDA, init_model_params  # noqa: E402
+
+
+def _cfg(impl: str) -> ModelConfig:
+    # deliberately tiny: the Pallas kernels run in interpret mode on the
+    # CPU suite, which costs seconds per pallas_call — enc/dec layer
+    # counts and image size directly bound the test's wall clock
+    return ModelConfig(
+        text_encoder=TextEncoderConfig(
+            vocab_size=1000, hidden_size=64, num_layers=1, num_heads=4,
+            intermediate_size=128, max_position_embeddings=64,
+        ),
+        transformer=TransformerConfig(
+            hidden_dim=64, nheads=4, enc_layers=2, dec_layers=1,
+            dim_feedforward=128, msda_impl=impl,
+            fusion=FusionConfig(embed_dim=128, num_heads=4),
+        ),
+        num_queries=16,
+        max_obj_texts=8,
+        max_verb_texts=8,
+        dtype="float32",
+    )
+
+
+def _forward(impl, params, pixels, valid, text_emb, text_valid, n_obj):
+    cfg = _cfg(impl)
+    model = RLIPParSeDA(cfg)
+    with pltpu.force_tpu_interpret_mode():
+        return jax.device_get(
+            model.apply(params, pixels, valid, text_emb, text_valid, n_obj)
+        )
+
+
+def _map_from(results, gts, correct_mat):
+    triplets = {
+        (
+            int(g["labels"][h[0]]),
+            int(g["labels"][h[1]]),
+            int(h[2]),
+        )
+        for g in gts
+        for h in g["hois"]
+    }
+    ev = HICOEvaluator(
+        results, gts, rare_triplets=[], non_rare_triplets=list(triplets),
+        correct_mat=correct_mat,
+    )
+    ev.evaluate()
+    return ev.compute_map()
+
+
+def test_int8_msda_map_delta_under_0p1_points():
+    B, H, W = 2, 64, 64
+    rng = np.random.RandomState(0)
+    cfg = _cfg("pallas")
+    T = cfg.max_obj_texts + cfg.max_verb_texts
+    pixels = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    valid = jnp.ones((B, H, W), bool)
+    text_emb = jnp.asarray(
+        rng.randn(B, T, cfg.text_encoder.hidden_size).astype(np.float32)
+    )
+    text_valid = jnp.ones((B, T), bool)
+
+    model = RLIPParSeDA(cfg)
+    with pltpu.force_tpu_interpret_mode():
+        params = init_model_params(
+            model, jax.random.PRNGKey(0), pixels[:1], valid[:1],
+            text_emb[:1], text_valid[:1], cfg.max_obj_texts,
+            jnp.ones((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32),
+        )
+
+    orig_sizes = jnp.asarray([[H, W]] * B, jnp.float32)
+    out_exact = _forward("pallas", params, pixels, valid, text_emb,
+                         text_valid, cfg.max_obj_texts)
+    out_int8 = _forward("pallas_int8", params, pixels, valid, text_emb,
+                        text_valid, cfg.max_obj_texts)
+
+    res_exact = to_image_results(postprocess_hoi(
+        jax.tree_util.tree_map(jnp.asarray, out_exact), orig_sizes))
+    res_int8 = to_image_results(postprocess_hoi(
+        jax.tree_util.tree_map(jnp.asarray, out_int8), orig_sizes))
+
+    # sanity: the int8 path actually perturbed the outputs (the bound is
+    # not vacuous)
+    d = max(
+        float(np.abs(np.asarray(a["verb_scores"])
+                     - np.asarray(b["verb_scores"])).max())
+        for a, b in zip(res_exact, res_int8)
+    )
+    assert d > 0.0, "int8 path produced bit-identical outputs"
+
+    # GT fixture: the exact path's top-4 pairs per image become GT boxes
+    # and triplets (verb = argmax verb score per pair). Two de-saturators
+    # keep the mAP mid-range so a perturbation can move it: GT boxes are
+    # jittered (IoU matching stays > 0.5 but is no longer trivially 1.0)
+    # and each image gets one unmatchable GT hoi (recall < 1).
+    n_verb = cfg.max_verb_texts
+    jrng = np.random.RandomState(7)
+    gts = []
+    for r in res_exact:
+        vs = np.asarray(r["verb_scores"])  # (nq, V)
+        boxes = np.asarray(r["boxes"])  # (2nq, 4)
+        labels = np.asarray(r["labels"])  # (2nq,)
+        nq = vs.shape[0]
+        top = np.argsort(-vs.max(axis=1))[:4]
+        g_boxes, g_labels, g_hois = [], [], []
+        for q in top:
+            sub_id, obj_id = int(r["sub_ids"][q]), int(r["obj_ids"][q])
+            for b in (boxes[sub_id], boxes[obj_id]):
+                wh2 = np.maximum(b[2:] - b[:2], 1.0)
+                jit = jrng.uniform(-0.08, 0.08, 4) * np.concatenate([wh2, wh2])
+                g_boxes.append(b + jit.astype(np.float32))
+            g_labels.extend([int(labels[sub_id]), int(labels[obj_id])])
+            k = len(g_boxes)
+            g_hois.append([k - 2, k - 1, int(vs[q].argmax())])
+        # unmatchable GT: far-away tiny boxes, a verb the top pairs used
+        g_boxes.extend([
+            np.asarray([900.0, 900.0, 910.0, 910.0], np.float32),
+            np.asarray([920.0, 920.0, 930.0, 930.0], np.float32),
+        ])
+        g_labels.extend([int(labels[0]), int(labels[1])])
+        k = len(g_boxes)
+        g_hois.append([k - 2, k - 1, int(g_hois[0][2])])
+        gts.append({
+            "filename": "synthetic",
+            "boxes": np.asarray(g_boxes, np.float32),
+            "labels": np.asarray(g_labels, np.int64),
+            "hois": np.asarray(g_hois, np.int64),
+        })
+
+    correct_mat = np.ones((n_verb, cfg.max_obj_texts), np.float32)
+    map_exact = _map_from(res_exact, gts, correct_mat)
+    map_int8 = _map_from(res_int8, gts, correct_mat)
+
+    m_e, m_8 = map_exact["mAP"], map_int8["mAP"]
+    assert 0.05 < m_e < 0.999, f"degenerate fixture: exact mAP {m_e}"
+    # 0.1 mAP points on the reference's 0-100 scale == 0.001 here
+    assert abs(m_e - m_8) < 0.001, (
+        f"int8 mAP delta {abs(m_e - m_8) * 100:.3f} points "
+        f"(exact {m_e * 100:.2f}, int8 {m_8 * 100:.2f})"
+    )
