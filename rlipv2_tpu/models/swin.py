@@ -111,7 +111,16 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(N, N, h)
         bias = jnp.transpose(bias, (2, 0, 1)).astype(self.dtype)  # (h, N, N)
 
-        if jax.default_backend() == "tpu" and hd % 8 == 0:
+        import os
+
+        if (
+            jax.default_backend() == "tpu"
+            and hd % 8 == 0
+            and os.environ.get("RLIPV2_SWIN_FUSED", "1") != "0"
+        ):
+            # RLIPV2_SWIN_FUSED=0 forces the plain-XLA path below even on
+            # TPU — the A/B knob tools/profile_swin.py uses (read at trace
+            # time)
             # fused Pallas path (ops/window_attention.py): consumes the
             # packed (nWB, N, 3C) projection directly (no relayouts) and
             # runs QK -> bias/mask -> softmax -> AV in VMEM

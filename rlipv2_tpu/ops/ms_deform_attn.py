@@ -277,6 +277,33 @@ _msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
 _msda_pallas_v5.defvjp(_msda_pallas_v5_fwd, _msda_pallas_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_pallas_zerograd(spatial_shapes, value, loc, attn):
+    """PROFILING ONLY: v4 forward with a zero backward. Differencing a
+    train step built on this against the real 'pallas' impl isolates the
+    total in-model MSDA-backward cost (tools/profile_train.py). Never a
+    training default — gradients through the op are silently dropped."""
+    return _msda_pallas(spatial_shapes, value, loc, attn)
+
+
+def _msda_zerograd_fwd(spatial_shapes, value, loc, attn):
+    return _msda_pallas_zerograd(spatial_shapes, value, loc, attn), (
+        value,
+        loc,
+        attn,
+    )
+
+
+def _msda_zerograd_bwd(spatial_shapes, res, dout):
+    # zeros_like depends only on static shape/dtype, so XLA DCEs the
+    # residual storage — the bwd truly costs nothing
+    value, loc, attn = res
+    return jnp.zeros_like(value), jnp.zeros_like(loc), jnp.zeros_like(attn)
+
+
+_msda_pallas_zerograd.defvjp(_msda_zerograd_fwd, _msda_zerograd_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
 def ms_deform_attn(
     value: jnp.ndarray,  # (B, S, H, D)
@@ -295,6 +322,10 @@ def ms_deform_attn(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _msda_pallas(
+            spatial_shapes, value, sampling_locations, attention_weights
+        )
+    if impl == "pallas_zerograd":  # profiling only (see _msda_pallas_zerograd)
+        return _msda_pallas_zerograd(
             spatial_shapes, value, sampling_locations, attention_weights
         )
     if impl == "pallas_v5":
