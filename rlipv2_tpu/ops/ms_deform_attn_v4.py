@@ -370,17 +370,276 @@ def _v4_bwd_kernel(
         g_out[0] = g_s[:]
 
 
+def _v4_bwd_kernel_wide(
+    min_ref, nwin_ref,
+    iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref, *refs,
+    plan, qb, dim, n_points,
+):
+    """Wide variant of _v4_bwd_kernel: the P per-point lane vectors are
+    flattened onto ONE (P*qb)-lane axis, so each window body runs THREE
+    large dots (K or N = P*qb) instead of 3*P small ones, and every mask /
+    mixer build happens once at full width. Same math, same outputs.
+
+    MEASURED: at the flagship encoder shape with realistic LOCAL offsets
+    (tools/profile_bwd_levels.py, round 4) this is 85-95 ms vs 79.6 ms for
+    the per-point per-level path — the bwd is bound by the per-point VPU
+    expansion area, which widening re-arranges but does not shrink, and
+    the wide masks/builds at (ws, P*qb) cost the same element ops. (An
+    earlier uniform-random-offset measurement suggested ~1.9x; random
+    offsets inflate window counts ~3x and overweight per-window fixed
+    costs.) Kept opt-in (wide=True) as the documented A/B baseline."""
+    (h_l, w_l, wpad, ws, multi) = plan[0]
+    v_ref = refs[0]
+    dout_ref = refs[1]  # (1, D, qb) f32
+    dv_ref = refs[2]
+    gouts = refs[3:7]  # gy0, gy1, gx0, gx1 (1, P, qb)
+    gscr = refs[7:11]  # scratch (P, qb) f32
+
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _():
+        dv_ref[0] = jnp.zeros(dv_ref.shape[1:], jnp.float32)
+
+    P = n_points
+    Qw = P * qb
+    dout = dout_ref[0].astype(jnp.float32)  # (D, qb)
+    vdtype = v_ref.dtype
+
+    # (1, P*qb) wide lane vectors; lane index = p*qb + q. Built by lane
+    # concat (Mosaic rejects sublane->lane shape casts like (P,qb)->(1,Qw))
+    def widen(ref):
+        return jnp.concatenate(
+            [ref[0, p : p + 1, :] for p in range(P)], axis=1
+        )
+
+    iy_w = widen(iy_ref)
+    ix_w = widen(ix_ref)
+    wy0_w = widen(wy0_ref)
+    wy1_w = widen(wy1_ref)
+    wx0_w = widen(wx0_ref)
+    wx1_w = widen(wx1_ref)
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, Qw), 0)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ws, Qw), 0)
+
+    mx0 = iota_w == ix_w
+    mx1 = iota_w == ix_w + 1
+    cx_w = (wx0_w * mx0 + wx1_w * mx1).astype(vdtype)  # (wpad, Qw)
+
+    # dout tiled P times along lanes: DW[d, p*qb + q] = dout[d, q]
+    dout_w = jnp.concatenate([dout] * P, axis=1)  # (D, Qw)
+    dexp_w = jnp.broadcast_to(dout_w[None], (ws, dim, Qw))
+
+    for g in gscr:
+        g[:] = jnp.zeros((P, qb), jnp.float32)
+
+    min_iy = min_ref[b, 0, q]
+    n_win = nwin_ref[b, 0, q]
+
+    def window(k, carry):
+        if multi:
+            s_k = jnp.clip(min_iy + k * ws, 0, h_l - ws)
+            start = pl.multiple_of(s_k * dim, dim)
+            row_slice = pl.ds(start, ws * dim)
+            rows = iota_y + s_k
+        else:
+            row_slice = slice(0, ws * dim)
+            rows = iota_y
+        v_yw = v_ref[0, row_slice, :]  # (ws*D, wpad)
+
+        e0 = rows == iy_w
+        e1 = rows == iy_w + 1
+        if multi:
+            rel0 = iy_w - min_iy
+            b0 = (rel0 >= k * ws) & (rel0 < (k + 1) * ws)
+            b1 = (rel0 + 1 >= k * ws) & (rel0 + 1 < (k + 1) * ws)
+            e0 = e0 & b0
+            e1 = e1 & b1
+        m = wy0_w * e0 + wy1_w * e1  # (ws, Qw)
+        dt = (dexp_w * m[:, None, :]).reshape(ws * dim, Qw).astype(vdtype)
+
+        # value grad: ONE dot, contraction over the wide axis
+        dv_ref[0, row_slice, :] += jax.lax.dot_general(
+            dt, cx_w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # weight grads
+        t = jnp.dot(v_yw, cx_w, preferred_element_type=jnp.float32)
+        dm = jnp.sum(t.reshape(ws, dim, Qw) * dexp_w, axis=1)  # (ws, Qw)
+        dcx = jax.lax.dot_general(
+            v_yw, dt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (wpad, Qw)
+        sums = (
+            jnp.sum(dm * e0, axis=0, keepdims=True),
+            jnp.sum(dm * e1, axis=0, keepdims=True),
+            jnp.sum(dcx * mx0, axis=0, keepdims=True),
+            jnp.sum(dcx * mx1, axis=0, keepdims=True),
+        )  # each (1, Qw)
+        # un-widen by static lane slices (no sublane<->lane shape casts)
+        for j, s in enumerate(sums):
+            for p in range(P):
+                gscr[j][p, :] += s[0, p * qb : (p + 1) * qb]
+        return carry
+
+    if multi:
+        jax.lax.fori_loop(0, n_win, window, 0)
+    else:
+        window(0, 0)
+
+    for g_out, g_s in zip(gouts, gscr):
+        g_out[0] = g_s[:]
+
+
+def _v4_bwd_kernel_fused(
+    min_ref, nwin_ref,
+    iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref, *refs,
+    plan, qb, dim, n_points,
+):
+    """ALL levels in ONE pallas_call (like the forward). The per-level
+    backward split was the round-3 VMEM-safety choice; the hypothesis was
+    that the 4 separate calls pay a per-grid-sweep floor (per-level
+    marginals with realistic local offsets: 36.3 / 15.6 / 15.3 / 12.2 ms,
+    tools/profile_bwd_levels.py) that one shared sweep would amortize.
+
+    MEASURED (round 4, flagship encoder shape, local offsets): fused
+    wsy=8 is 79.7 ms vs 79.6 ms for the per-level path — PARITY. The
+    small-level floor is the per-point VPU expansion work (P masks/builds
+    over (ws*D or wpad, qb) areas), which executes identically inside the
+    fused body; only dispatch overhead is shared, and that is negligible.
+    Every level's f32 dv buffer must live in VMEM at once (~4.9 MB at
+    832x1344 — fits; the wrapper falls back to per-level calls above a
+    VMEM estimate). Kept opt-in (fused=True) as the documented A/B
+    baseline; the per-level path stays the default."""
+    L = len(plan)
+    P = n_points
+    vrefs = refs[:L]
+    dout_ref = refs[L]  # (1, D, qb) f32
+    dv_refs = refs[L + 1 : 2 * L + 1]
+    gouts = refs[2 * L + 1 : 2 * L + 5]  # (1, LP, qb)
+    gscr = refs[2 * L + 5 : 2 * L + 9]  # (LP, qb) f32 scratch
+
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _():
+        for dv_ref in dv_refs:
+            dv_ref[0] = jnp.zeros(dv_ref.shape[1:], jnp.float32)
+
+    for g in gscr:
+        g[:] = jnp.zeros((L * P, qb), jnp.float32)
+
+    dout = dout_ref[0].astype(jnp.float32)  # (D, qb)
+
+    for lvl, (h_l, w_l, wpad, ws, multi) in enumerate(plan):
+        v_ref = vrefs[lvl]
+        dv_ref = dv_refs[lvl]
+        vdtype = v_ref.dtype
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, qb), 0)
+        iota_y = jax.lax.broadcasted_iota(jnp.int32, (ws, qb), 0)
+        dexp = jnp.broadcast_to(dout[None], (ws, dim, qb))
+
+        iys, wy0s, wy1s, cxs, mx0s, mx1s = [], [], [], [], [], []
+        for p in range(P):
+            lp = lvl * P + p
+            iy_p = iy_ref[0, lp, :][None, :]
+            ix_p = ix_ref[0, lp, :][None, :]
+            m0 = iota_w == ix_p
+            m1 = iota_w == ix_p + 1
+            cx = (
+                wx0_ref[0, lp, :][None, :] * m0
+                + wx1_ref[0, lp, :][None, :] * m1
+            )
+            cxs.append(cx.astype(vdtype))
+            mx0s.append(m0)
+            mx1s.append(m1)
+            iys.append(iy_p)
+            wy0s.append(wy0_ref[0, lp, :][None, :])
+            wy1s.append(wy1_ref[0, lp, :][None, :])
+
+        min_iy = min_ref[b, lvl, q]
+        n_win = nwin_ref[b, lvl, q]
+
+        def window(k, carry, lvl=lvl, h_l=h_l, ws=ws, multi=multi,
+                   v_ref=v_ref, dv_ref=dv_ref, iys=iys, wy0s=wy0s,
+                   wy1s=wy1s, cxs=cxs, mx0s=mx0s, mx1s=mx1s,
+                   iota_y=iota_y, min_iy=min_iy, dexp=dexp):
+            if multi:
+                s_k = jnp.clip(min_iy + k * ws, 0, h_l - ws)
+                start = pl.multiple_of(s_k * dim, dim)
+                row_slice = pl.ds(start, ws * dim)
+                rows = iota_y + s_k
+            else:
+                row_slice = slice(0, ws * dim)
+                rows = iota_y
+            v_yw = v_ref[0, row_slice, :]
+            dv_acc = jnp.zeros((ws * dim, wpad), jnp.float32)
+            for p in range(P):
+                lp = lvl * P + p
+                e0 = rows == iys[p]
+                e1 = rows == iys[p] + 1
+                if multi:
+                    rel0 = iys[p] - min_iy
+                    b0 = (rel0 >= k * ws) & (rel0 < (k + 1) * ws)
+                    b1 = (rel0 + 1 >= k * ws) & (rel0 + 1 < (k + 1) * ws)
+                    e0 = e0 & b0
+                    e1 = e1 & b1
+                m = wy0s[p] * e0 + wy1s[p] * e1
+                dt = (dexp * m[:, None, :]).reshape(ws * dim, qb)
+                dv_acc = dv_acc + jax.lax.dot_general(
+                    dt.astype(vdtype), cxs[p],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                t = jnp.dot(v_yw, cxs[p], preferred_element_type=jnp.float32)
+                dm = jnp.sum(t.reshape(ws, dim, qb) * dexp, axis=1)
+                gscr[0][lp, :] += jnp.sum(dm * e0, axis=0)
+                gscr[1][lp, :] += jnp.sum(dm * e1, axis=0)
+                dcx = jax.lax.dot_general(
+                    v_yw, dt.astype(vdtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gscr[2][lp, :] += jnp.sum(dcx * mx0s[p], axis=0)
+                gscr[3][lp, :] += jnp.sum(dcx * mx1s[p], axis=0)
+            dv_ref[0, row_slice, :] += dv_acc
+            return carry
+
+        if multi:
+            jax.lax.fori_loop(0, n_win, window, 0)
+        else:
+            window(0, 0)
+
+    for g_out, g_s in zip(gouts, gscr):
+        g_out[0] = g_s[:]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("spatial_shapes", "query_block", "wsy")
+    jax.jit,
+    static_argnames=("spatial_shapes", "query_block", "wsy", "wide", "fused"),
 )
 def ms_deform_attn_v4_bwd(
     iy, ix, wy0, wy1, wx0, wx1, value, dout,
     spatial_shapes,
     query_block: int = 256,
     wsy: int = 8,
+    wide: bool = False,
+    fused: bool = False,
 ):
     """Backward pass of ms_deform_attn_v4: returns
-    (dwy0, dwy1, dwx0, dwx1, dvalue) in the forward input layouts."""
+    (dwy0, dwy1, dwx0, dwx1, dvalue) in the forward input layouts.
+
+    Default: one pallas_call per level (the round-3 path). Two measured
+    restructurings are kept opt-in for A/B (tools/profile_bwd_levels.py,
+    round 4, realistic local offsets at the flagship encoder shape):
+    fused=True runs all levels in one call (79.7 ms vs 79.6 — parity;
+    falls back to per-level above a VMEM estimate), wide=True runs the
+    concatenated-dots kernel (85-95 ms — slower). Conclusion: the bwd is
+    bound by per-point VPU expansion area, like the forward's mixer; its
+    ~80 ms at 832x1344 bs8 is the formulation's floor, not call overhead."""
     BH, Q, LP = iy.shape
     S, D = value.shape[1], value.shape[2]
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
@@ -388,7 +647,19 @@ def ms_deform_attn_v4_bwd(
     P = LP // L
     plan = _plan(shapes, wsy)
 
-    qb = min(query_block, max(_round_up(Q, 8), 8))
+    # fused path keeps every level's f32 dv buffer + value resident in
+    # VMEM at once; fall back to per-level calls above ~11 MB. Decide
+    # BEFORE padding: the fused call caps qb at 128 (qb=256 overflows the
+    # 16 MB scoped-vmem limit by ~0.7 MB at 832x1344), and Qp must be a
+    # multiple of whichever qb the kernel runs with (decoder Q=200 with a
+    # post-hoc qb cap broke _window_info's (BH, L, P, Qp//qb, qb) reshape).
+    vmem_est = sum(
+        h * D * wpad * (4 + value.dtype.itemsize)
+        for (h, _, wpad, _, _) in plan
+    )
+    use_fused = fused and vmem_est <= 11 * 1024 * 1024
+    qb_cap = min(query_block, 128) if use_fused else query_block
+    qb = min(qb_cap, max(_round_up(Q, 8), 8))
     pad_q = (-Q) % qb
     Qp = Q + pad_q
 
@@ -418,18 +689,91 @@ def ms_deform_attn_v4_bwd(
 
     min_all, nwin_all = _window_info(iy, plan, P, qb)
 
-    # ONE pallas_call per level: a single call holding every level's f32
-    # dv buffer in VMEM overflows the ~16 MB budget at 832x1344
-    dvalue_pieces = []
-    g_pieces = []
+    # transposed (h*D, wpad) per-level value views (shared by both paths)
+    vals = []
     off = 0
-    for lvl, (h, w, wpad, ws, multi) in enumerate(plan):
+    for (h, w, wpad, _, _) in plan:
         v = value[:, off : off + h * w].reshape(BH, h, w, D)
         v = jnp.transpose(v, (0, 1, 3, 2)).reshape(BH, h * D, w)
         if wpad != w:
             v = jnp.pad(v, ((0, 0), (0, 0), (0, wpad - w)))
+        vals.append(v)
         off += h * w
 
+    if use_fused:
+        qb_f = qb
+        min_f, nwin_f = min_all, nwin_all
+        scalar_spec = pl.BlockSpec(
+            (1, LP, qb_f), lambda b, q, *_: (b, 0, q), memory_space=pltpu.VMEM
+        )
+        in_specs = [scalar_spec] * 6
+        for v in vals:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, v.shape[1], v.shape[2]), lambda b, q, *_: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        in_specs.append(
+            pl.BlockSpec((1, D, qb_f), lambda b, q, *_: (b, 0, q),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes = [
+            jax.ShapeDtypeStruct((BH, v.shape[1], v.shape[2]), jnp.float32)
+            for v in vals
+        ] + [jax.ShapeDtypeStruct((BH, LP, Qp), jnp.float32)] * 4
+        out_specs = [
+            pl.BlockSpec(
+                (1, v.shape[1], v.shape[2]), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for v in vals
+        ] + [
+            pl.BlockSpec((1, LP, qb_f), lambda b, q, *_: (b, 0, q),
+                         memory_space=pltpu.VMEM)
+        ] * 4
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BH, Qp // qb_f),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((LP, qb_f), jnp.float32)] * 4,
+        )
+        flops = 6 * BH * Qp * P * sum(
+            (ws * D) * (wpad / 128.0) for (_, _, wpad, ws, _) in plan
+        )
+        outs = pl.pallas_call(
+            functools.partial(
+                _v4_bwd_kernel_fused, plan=plan, qb=qb_f, dim=D, n_points=P
+            ),
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=int(flops),
+                bytes_accessed=BH * (2 * S * D * 8 + Qp * LP * 24 + Qp * D * 4),
+                transcendentals=0,
+            ),
+        )(min_f, nwin_f, iy, ix, wy0, wy1, wx0, wx1, *vals, dout)
+
+        dvalue_pieces = []
+        for lvl, (h, w, wpad, _, _) in enumerate(plan):
+            dv = outs[lvl][:, :, :w].reshape(BH, h, D, w)
+            dv = jnp.transpose(dv, (0, 1, 3, 2)).reshape(BH, h * w, D)
+            dvalue_pieces.append(dv)
+        dvalue = jnp.concatenate(dvalue_pieces, axis=1).astype(value.dtype)
+
+        def unpack_f(i):
+            g = jnp.swapaxes(outs[L + i], 1, 2)  # (BH, Qp, LP)
+            return g[:, :Q] if pad_q else g
+
+        return unpack_f(0), unpack_f(1), unpack_f(2), unpack_f(3), dvalue
+
+    # per-level fallback: one pallas_call per level keeps only that
+    # level's f32 dv buffer in VMEM
+    dvalue_pieces = []
+    g_pieces = []
+    for lvl, (h, w, wpad, ws, multi) in enumerate(plan):
+        v = vals[lvl]
         sl = slice(lvl * P, (lvl + 1) * P)
         scalar_spec = pl.BlockSpec(
             (1, P, qb), lambda b, q, *_: (b, 0, q), memory_space=pltpu.VMEM
@@ -464,7 +808,8 @@ def ms_deform_attn_v4_bwd(
         )
         outs = pl.pallas_call(
             functools.partial(
-                _v4_bwd_kernel, plan=(plan[lvl],), qb=qb, dim=D, n_points=P
+                _v4_bwd_kernel_wide if wide else _v4_bwd_kernel,
+                plan=(plan[lvl],), qb=qb, dim=D, n_points=P,
             ),
             grid_spec=grid_spec,
             out_shape=out_shapes,

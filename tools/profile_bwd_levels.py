@@ -108,12 +108,19 @@ def main():
         lambda *a: tsum(ms_deform_attn_v4_bwd(*a, spatial_shapes=shapes))
     ), iy, ix, wy0, wy1, wx0, wx1, v_t, g_t)
 
+    # fused single-call backward (all levels, one grid sweep)
+    for wsy in (4, 8):
+        leg(f"bwd fused wsy={wsy}", jax.jit(
+            lambda *a, s=wsy: tsum(ms_deform_attn_v4_bwd(
+                *a, spatial_shapes=shapes, wsy=s, fused=True))
+        ), iy, ix, wy0, wy1, wx0, wx1, v_t, g_t)
+
     # A/B: concatenated-dots wide kernel x window-row sizes
     for wide in (False, True):
         for wsy in (4, 8, 16):
             leg(f"bwd wide={int(wide)} wsy={wsy}", jax.jit(
                 lambda *a, w=wide, s=wsy: tsum(ms_deform_attn_v4_bwd(
-                    *a, spatial_shapes=shapes, wsy=s, wide=w))
+                    *a, spatial_shapes=shapes, wsy=s, wide=w, fused=False))
             ), iy, ix, wy0, wy1, wx0, wx1, v_t, g_t)
 
     # cumulative prefixes: levels[:k] only — the per-level marginal is
