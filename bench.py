@@ -236,6 +236,14 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / PYTORCH_ANCHOR_IMGS_PER_SEC, 2),
         "baseline_source": BASELINE_SOURCE,
+        # the BASELINE.md north star names an A100 anchor; A100 is ~2-2.5x
+        # V100 on this workload, so the implied anchor is ~40-48 img/s —
+        # vs_a100_anchor uses the midpoint (19 * 2.25 = 42.75) so nobody
+        # mistakes the V100 ratio for progress against the actual target
+        # (VERDICT r3 weak #7)
+        "vs_a100_anchor": round(
+            imgs_per_sec / (PYTORCH_ANCHOR_IMGS_PER_SEC * 2.25), 2
+        ),
         "p50_latency_ms": round(dt * 1000, 1),
     }
     _emit(record)
@@ -277,6 +285,65 @@ def main():
             _emit(record)
         except Exception as e:
             print(f"bs16 bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # SERVING headline: bs16 across the realistic eval distribution.
+    # Offline eval / serving batches freely, so the production number is
+    # the dist mix at the throughput-optimal batch size, not bs8 at the
+    # max bucket.
+    if _budget_ok("dist bs16"):
+        try:
+            mix16 = (((832, 1088), 0.70), ((832, 1344), 0.20),
+                     ((1088, 832), 0.10))
+            t_img16 = 0.0
+            for (bh, bw), share in mix16:
+                if (bh, bw) == (832, 1088):
+                    dt_b = dt16
+                else:
+                    f_b, a_b = make_fwd(i8_model, bh, bw, 16)
+                    dt_b = marginal_time(f_b, params, *a_b, n=3)
+                t_img16 += share * dt_b / 16
+            record["dist_bs16_imgs_per_sec"] = round(1.0 / t_img16, 2)
+            _emit(record)
+        except Exception as e:
+            print(f"dist-bs16 bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # end-to-end device work of a real eval loop: forward + PostProcessHOI
+    # (softmax/sigmoid scoring, box rescale) fused into ONE jitted program
+    # at the dominant serving shape — the reference runs PostProcessHOI
+    # per-image on CPU (reference models/hoi.py:4769-4873); here it adds
+    # ~nothing on top of the forward. Host copy of the fixed-shape results
+    # is excluded (tunnel-environment artifact, ~1.6 MB/batch).
+    if _budget_ok("e2e postprocess"):
+        try:
+            from rlipv2_tpu.eval.postprocess import postprocess_hoi
+
+            osz = jnp.tile(
+                jnp.asarray([[800.0, 1067.0]], jnp.float32), (16, 1)
+            )
+
+            def fwd_pp(p, px, v, te, tv, sz):
+                out = i8_model.apply(p, px, v, te, tv, cfg.max_obj_texts)
+                res = postprocess_hoi(
+                    out, sz,
+                    obj_valid=tv[:, : cfg.max_obj_texts],
+                    verb_valid=tv[:, cfg.max_obj_texts :],
+                )
+                return (
+                    jnp.sum(res["verb_scores"])
+                    + jnp.sum(res["sub_boxes"])
+                    + jnp.sum(res["obj_boxes"])
+                    + jnp.sum(res["obj_scores"])
+                )
+
+            dt_pp = marginal_time(
+                jax.jit(fwd_pp), params, *a16, osz, n=3
+            )
+            record["e2e_postprocess_bs16_imgs_per_sec"] = round(16 / dt_pp, 2)
+            _emit(record)
+        except Exception as e:
+            print(f"e2e-postprocess bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     # exact-kernel reference line at the primary shape
@@ -326,12 +393,28 @@ def main():
 
         try:
             _os.environ["RLIPV2_SCAN_UNROLL"] = "1"
-            lowered = jax.jit(
-                lambda p, px, v, te, tv: model.apply(
-                    p, px, v, te, tv, cfg.max_obj_texts
-                )["pred_verb_logits"]
-            ).lower(params, pixels, valid, text_emb, text_valid)
-            flops = lowered.cost_analysis()["flops"]
+            # Lower on the CPU backend with abstract args: cost analysis is
+            # shape-only, and the axon plugin's pre-compile cost_analysis()
+            # returns None (compiling the unrolled trace through the tunnel
+            # would blow the budget instead). Use the XLA-gather MSDA so the
+            # trace lowers on CPU (no Pallas) — that formulation counts the
+            # algorithmic MACs, which is the honest numerator for MFU.
+            mfu_cfg = _dc.replace(
+                cfg, transformer=_dc.replace(cfg.transformer, msda_impl="xla")
+            )
+            mfu_model = RLIPParSeDA(mfu_cfg)
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (params, pixels, valid, text_emb, text_valid),
+            )
+            with jax.default_device(jax.devices("cpu")[0]):
+                lowered = jax.jit(
+                    lambda p, px, v, te, tv: mfu_model.apply(
+                        p, px, v, te, tv, cfg.max_obj_texts
+                    )["pred_verb_logits"]
+                ).lower(*abstract)
+            ca = lowered.cost_analysis()
+            flops = ca["flops"]
             record["mfu_pct"] = round(100.0 * (flops / dt) / V5E_PEAK_FLOPS, 1)
             _emit(record)
         except Exception as e:
@@ -386,6 +469,41 @@ def main():
             _emit(record)
         except Exception as e:
             print(f"swin-l bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # train throughput on the realistic multi-scale TRAIN distribution
+    # (mirrors dist_imgs_per_sec): the reference train transform resizes
+    # the shorter side to one of {480..800 step 32} (max 1333, reference
+    # datasets/hico.py:480-495), so a 4:3 landscape image lands in
+    # (512,768) for s<=512, (576,1024) for s<=576, (832,832) for s=608,
+    # and (832,1344) above — 2/2/1/6 of the 11 scales. The max-bucket
+    # train_step_ms above is the worst case, not the typical step.
+    if _budget_ok("train dist"):
+        try:
+            t_mix = train_ms / 1000.0 * (6 / 11)
+            for (bh, bw), share in (
+                ((512, 768), 2 / 11), ((576, 1024), 2 / 11),
+                ((832, 832), 1 / 11),
+            ):
+                if not _budget_ok(f"train dist {bh}x{bw}"):
+                    raise RuntimeError("budget exhausted mid-mix")
+                px_b = jax.device_put(
+                    jnp.asarray(np.asarray(pixels)[:, :bh, :bw]),
+                    jax.devices()[0],
+                )
+                v_b = jnp.ones((BATCH, bh, bw), bool)
+                ms_b = _bench_train_step(
+                    jax, jnp, cfg, rng, params, px_b, v_b, text_emb,
+                    text_valid,
+                )
+                t_mix += ms_b / 1000.0 * share
+            record["train_dist_imgs_per_sec"] = round(BATCH / t_mix, 2)
+            record["train_dist_mix"] = (
+                "55% 832x1344, 18% 512x768, 18% 576x1024, 9% 832x832"
+            )
+            _emit(record)
+        except Exception as e:
+            print(f"train-dist bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
 
