@@ -52,6 +52,7 @@ class HICODataset:
         num_queries: int = 100,
         transforms: Optional[HOITransform] = None,
         subject_category_id: int = 0,
+        build_verb_hm: bool = False,
     ):
         self.image_set = image_set
         self.img_folder = Path(img_folder)
@@ -64,6 +65,9 @@ class HICODataset:
             else HOITransform(train=image_set == "train", normalize=False)
         )
         self.subject_category_id = subject_category_id
+        # DETRHOIhm variant: also emit the CenterNet-style GT verb heatmap
+        # (reference datasets/hico.py:376-407 under --DETRHOIhm)
+        self.build_verb_hm = build_verb_hm
 
         if image_set == "train":
             self.ids = []
@@ -172,6 +176,13 @@ class HICODataset:
                 obj_classes=self.object_text,
                 verb_classes=self.verb_text,
             )
+            if self.build_verb_hm:
+                from rlipv2_tpu.data.heatmap import make_verb_heatmap
+
+                target["verb_hm"] = make_verb_heatmap(
+                    target["sub_boxes"], target["obj_boxes"],
+                    img.shape[:2],
+                )
             return img, target
 
         # val: GT kept in original pixel space for the evaluator

@@ -168,3 +168,29 @@ def test_normalize_boxes_roundtrip():
     b = np.array([[10.0, 20.0, 110.0, 220.0]])
     n = normalize_boxes(b, 400, 200)
     np.testing.assert_allclose(n, [[0.3, 0.3, 0.5, 0.5]], atol=1e-6)
+
+
+def test_dataset_verb_hm_targets(synth_hico):
+    """build_verb_hm=True adds the CenterNet-style GT verb heatmap at the
+    transformed image resolution (reference datasets/hico.py:376-407 under
+    --DETRHOIhm; construction oracle-tested in test_heatmap_targets.py)."""
+    root, anno_file = synth_hico
+    ds = HICODataset(
+        "train",
+        root / "images",
+        anno_file,
+        transforms=HOITransform(train=False),
+        build_verb_hm=True,
+    )
+    img, target = ds[0]
+    hm = target["verb_hm"]
+    assert hm.shape == (1,) + img.shape[:2]
+    # one gaussian per pair, max-blended: full-strength peak at each
+    # pair's center midpoint
+    assert hm.max() > 0.99
+    n = target["sub_boxes"].shape[0]
+    for i in range(n):
+        s, o = target["sub_boxes"][i], target["obj_boxes"][i]
+        cx = int((s[0] + s[2] + o[0] + o[2]) / 4)
+        cy = int((s[1] + s[3] + o[1] + o[3]) / 4)
+        assert hm[0, cy, cx] > 0.99
