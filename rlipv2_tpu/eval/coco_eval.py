@@ -80,12 +80,20 @@ class CocoBboxEvaluator:
             dts[(p["image_id"], p["category_id"])].append(p)
 
         T, R = len(IOU_THRS), len(REC_THRS)
+        K, A = len(self.cat_ids), len(AREA_RANGES)
+        # pycocotools-shaped accumulators (T, R, K, A, M) with M=1 maxDets
+        # setting and -1 fill for absent categories — the layout
+        # plot_precision_recall / reference util/plot_utils.py:90-99 read
+        # from the torch.save'd coco_eval.eval (reference main.py:709,802)
+        P_full = -np.ones((T, R, K, A, 1))
+        S_full = -np.ones((T, R, K, A, 1))
+        R_full = -np.ones((T, K, A, 1))
         results = {}
         ap_all = {}
-        for area_name, rng in AREA_RANGES.items():
+        for ai, (area_name, rng) in enumerate(AREA_RANGES.items()):
             precisions = []  # per category: (T, R)
             recalls = []
-            for cat in self.cat_ids:
+            for ki, cat in enumerate(self.cat_ids):
                 tps, fps, scores = [], [], []
                 n_pos = 0
                 for img in self.img_ids:
@@ -161,6 +169,7 @@ class CocoBboxEvaluator:
                     continue
                 scores = np.concatenate(scores) if scores else np.zeros(0)
                 order = np.argsort(-scores, kind="mergesort")
+                scores_sorted = scores[order]
                 tp = np.concatenate(tps, axis=1)[:, order]
                 fp = np.concatenate(fps, axis=1)[:, order]
                 tp_c = np.cumsum(tp, axis=1).astype(np.float64)
@@ -169,6 +178,7 @@ class CocoBboxEvaluator:
                 pr = tp_c / np.maximum(tp_c + fp_c, np.finfo(np.float64).eps)
 
                 prec_at = np.zeros((T, R))
+                score_at = np.zeros((T, R))
                 rec_at = np.zeros((T,))
                 for ti in range(T):
                     p = pr[ti].tolist()
@@ -179,9 +189,13 @@ class CocoBboxEvaluator:
                     for ri, pi in enumerate(inds):
                         if pi < len(p):
                             prec_at[ti, ri] = p[pi]
+                            score_at[ti, ri] = scores_sorted[pi]
                     rec_at[ti] = rc[ti][-1] if len(rc[ti]) else 0.0
                 precisions.append(prec_at)
                 recalls.append(rec_at)
+                P_full[:, :, ki, ai, 0] = prec_at
+                S_full[:, :, ki, ai, 0] = score_at
+                R_full[:, ki, ai, 0] = rec_at
 
             if precisions:
                 P = np.stack(precisions)  # (C, T, R)
@@ -206,7 +220,23 @@ class CocoBboxEvaluator:
             "mAP_large": results["AP_large"],
             "AR@100": results["AR_all"],
         }
+        self.eval = {
+            "precision": P_full,
+            "scores": S_full,
+            "recall": R_full,
+            "recThrs": REC_THRS,
+            "iouThrs": IOU_THRS,
+        }
         return out
+
+    def save_eval(self, path) -> None:
+        """Persist the accumulated curves as an .npz that
+        tools/plot_logs.plot_precision_recall reads — the counterpart of
+        the reference's torch.save(coco_eval.eval, 'eval/latest.pth')
+        (reference main.py:797-803)."""
+        if not hasattr(self, "eval"):
+            raise RuntimeError("call evaluate() before save_eval()")
+        np.savez(path, **self.eval)
 
 
 def coco_evaluate_bbox(predictions: Sequence[dict], gt_json: dict,

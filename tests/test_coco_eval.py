@@ -115,3 +115,45 @@ def test_area_buckets():
     assert r["mAP"] == 1.0
     assert r["mAP_small"] == 1.0 and r["mAP_large"] == 1.0
     assert np.isnan(r["mAP_medium"])  # no medium GTs anywhere
+
+
+def test_eval_dump_roundtrip_to_plot(tmp_path):
+    """evaluate() populates pycocotools-shaped .eval; save_eval writes an
+    npz that tools/plot_logs.plot_precision_recall reads (the reference's
+    eval/latest.pth loop, main.py:797-803)."""
+    import pytest
+
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from rlipv2_tpu.eval.coco_eval import CocoBboxEvaluator
+    from rlipv2_tpu.tools.plot_logs import plot_precision_recall
+
+    gts = gt_json(
+        [
+            {"image_id": 0, "category_id": 1, "bbox": [10, 10, 40, 40]},
+            {"image_id": 1, "category_id": 2, "bbox": [0, 0, 30, 30]},
+        ]
+    )
+    ev = CocoBboxEvaluator(gts)
+    ev.evaluate(
+        [
+            det(0, 1, [10, 10, 40, 40], 0.9),
+            det(1, 2, [0, 0, 30, 30], 0.6),
+            det(1, 2, [100, 100, 10, 10], 0.4),  # FP
+        ]
+    )
+    P = ev.eval["precision"]
+    assert P.shape == (10, 101, 2, 4, 1)
+    # perfect cat-1 at IoU .5, area all: precision 1 at every recall point
+    assert np.allclose(P[0, :, 0, 0, 0], 1.0)
+    # scores at sampled recall points are the real det scores
+    assert ev.eval["scores"][0, 0, 0, 0, 0] == 0.9
+    # category 1 has no small-area GT -> -1 fill in that bucket
+    assert np.all(P[:, :, 0, 1, 0] == -1)
+
+    f = tmp_path / "latest.npz"
+    ev.save_eval(f)
+    fig, axs = plot_precision_recall([f])
+    assert len(axs[0].get_lines()) == 1
+    assert len(axs[0].get_lines()[0].get_xdata()) == 101
+    matplotlib.pyplot.close(fig)
