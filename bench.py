@@ -444,8 +444,12 @@ def main():
 
             from rlipv2_tpu.config import BackboneConfig
 
+            # same int8 MSDA eval default as the primary leg (`--eval`
+            # promotes it; metric-bounded in tests/test_int8_metric.py) —
+            # Swin-L is the flagship *accuracy* config, so its eval number
+            # should reflect the eval default too
             swin_cfg = _dc.replace(
-                cfg, backbone=BackboneConfig(name="swin_large", num_outputs=3)
+                i8_cfg, backbone=BackboneConfig(name="swin_large", num_outputs=3)
             )
             swin_model = RLIPParSeDA(swin_cfg)
             swin_params = _materialize_params(
