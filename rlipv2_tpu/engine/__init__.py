@@ -3,6 +3,7 @@ from rlipv2_tpu.engine.train import (
     TrainState,
     create_train_state,
     fsdp_state_sharding,
+    hybrid_state_sharding,
     tp_state_sharding,
     make_train_step,
 )
@@ -14,5 +15,6 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "fsdp_state_sharding",
+    "hybrid_state_sharding",
     "tp_state_sharding",
 ]

@@ -31,6 +31,13 @@ def numpyify(state_dict) -> dict:
     return out
 
 
+def _copy_tree(tree):
+    """Deep-copy a nested dict of numpy arrays (decoder duplication)."""
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    return np.copy(tree)
+
+
 def _stack_trees(trees):
     """Stack structurally identical nested dicts of arrays into one tree
     with a leading layer axis — the nn.scan param layout the models use
@@ -44,6 +51,40 @@ def _stack_trees(trees):
             out[k] = _stack_trees(vals)
         else:
             out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+def group_dab_decoder_layers(dec: dict, dec_layers: int) -> dict:
+    """Regroup flat per-layer DAB decoder params (`layer_{i}` + optional
+    in-decoder `sub/obj_bbox_embed_{i}` box-head clones) into the scanned
+    `layers` layout of models/dab_decoder.DABHOIDecoder: one stacked
+    per-step subtree {layer, [sub_bbox_embed, obj_bbox_embed]}. The shared
+    `ref_point_head` / `query_scale` subtrees (and anything else) stay at
+    the decoder's top level. If any layer's box heads are absent (partial
+    detector warm-starts), the heads are dropped from the overlay entirely
+    and left to init by merge_param_trees — a stacked tree cannot be
+    half-present."""
+    out = {
+        k: v
+        for k, v in dec.items()
+        if not (
+            k.startswith("layer_")
+            or k.startswith("sub_bbox_embed_")
+            or k.startswith("obj_bbox_embed_")
+        )
+    }
+    have_heads = all(
+        f"sub_bbox_embed_{i}" in dec and f"obj_bbox_embed_{i}" in dec
+        for i in range(dec_layers)
+    )
+    steps = []
+    for i in range(dec_layers):
+        step = {"layer": dec[f"layer_{i}"]}
+        if have_heads:
+            step["sub_bbox_embed"] = dec[f"sub_bbox_embed_{i}"]
+            step["obj_bbox_embed"] = dec[f"obj_bbox_embed_{i}"]
+        steps.append(step)
+    out["layers"] = _stack_trees(steps)
     return out
 
 
@@ -355,7 +396,7 @@ def convert_rlip_parseda(sd: Mapping[str, np.ndarray], cfg) -> dict:
             dec[f"obj_bbox_embed_{l}"] = _mlp(
                 sd, f"obj_bbox_embed.{head_offset + l}", 3
             )
-        return dec
+        return group_dab_decoder_layers(dec, t.dec_layers)
 
     params["ho_decoder"] = decoder("ho_decoder", "ho_decoder", 0)
     params["verb_decoder"] = decoder("verb_decoder", "verb_decoder", num_pred)
@@ -590,11 +631,9 @@ def convert_dab_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
                 }
         return dec
 
-    dec = decoder_from_detector()
+    dec = group_dab_decoder_layers(decoder_from_detector(), t.dec_layers)
     params["ho_decoder"] = dec
-    params["verb_decoder"] = {
-        k: (dict(v) if isinstance(v, dict) else v) for k, v in dec.items()
-    }
+    params["verb_decoder"] = _copy_tree(dec)
     return params
 
 
@@ -673,10 +712,9 @@ def convert_ddetr_detector(sd: Mapping[str, np.ndarray], cfg) -> dict:
             "linear1": _linear(sd, f"{p}.linear1"),
             "linear2": _linear(sd, f"{p}.linear2"),
         }
+    dec = group_dab_decoder_layers(dec, t.dec_layers)
     params["ho_decoder_nd"] = dec
-    params["verb_decoder_nd"] = {
-        k: {kk: dict(vv) for kk, vv in v.items()} for k, v in dec.items()
-    }
+    params["verb_decoder_nd"] = _copy_tree(dec)
 
     # per-layer detector box heads -> top-level sub/obj clones
     for l in range(t.dec_layers):

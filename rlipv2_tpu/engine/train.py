@@ -297,13 +297,23 @@ def fsdp_state_sharding(
     which has a dimension divisible by the axis length is sharded along
     its largest such dimension; everything else is replicated. XLA's SPMD
     partitioner inserts the all-gathers around each use and
-    reduce-scatters the gradients — the JAX spelling of ZeRO-3."""
+    reduce-scatters the gradients — the JAX spelling of ZeRO-3.
+
+    Gather-consumed embedding tables (flax nn.Embed leaves named
+    "embedding": RoBERTa word/position/token_type tables) are REPLICATED:
+    sharding a table whose consumer is a row-gather makes XLA SPMD
+    all-gather it and then "involuntarily fully rematerialize" the result
+    to reach the consumer's sharding — wasted HBM + ICI every step
+    (observed on the RoBERTa position_embeddings in MULTICHIP_r04's tail;
+    VERDICT r4 next #4)."""
     repl = NamedSharding(mesh, P())
     n = mesh.shape[axis]
 
-    def rule(x):
+    def rule(path, x):
         shape = getattr(x, "shape", None)
         if not shape or n <= 1:
+            return repl
+        if path and str(getattr(path[-1], "key", "")) == "embedding":
             return repl
         size = 1
         for d in shape:
@@ -317,12 +327,15 @@ def fsdp_state_sharding(
                 return NamedSharding(mesh, P(*spec))
         return repl
 
+    def map_tree(tree):
+        return jax.tree_util.tree_map_with_path(rule, tree)
+
     return TrainState(
         step=repl,
-        params=jax.tree_util.tree_map(rule, state.params),
-        opt_state=jax.tree_util.tree_map(rule, state.opt_state),
+        params=map_tree(state.params),
+        opt_state=map_tree(state.opt_state),
         ema_params=(
-            jax.tree_util.tree_map(rule, state.ema_params)
+            map_tree(state.ema_params)
             if state.ema_params is not None
             else None
         ),
@@ -400,4 +413,29 @@ def tp_state_sharding(
             else None
         ),
         rng=repl,
+    )
+
+
+def hybrid_state_sharding(
+    mesh: Mesh,
+    state: TrainState,
+    axis: str = "model",
+    min_size: int = 1 << 17,
+) -> TrainState:
+    """TP where the Megatron rules apply (FFN/BiMHA column/row pairs,
+    `tp_state_sharding`), FSDP (ZeRO-3 largest-divisible-dim,
+    `fsdp_state_sharding`) for everything else. One train-step program
+    under this sharding exercises BOTH rule sets — the dryrun uses it to
+    validate TP and FSDP in a single compile instead of two
+    (VERDICT r4 next #1b)."""
+    tp = tp_state_sharding(mesh, state, axis=axis)
+    fsdp = fsdp_state_sharding(mesh, state, axis=axis, min_size=min_size)
+    repl = NamedSharding(mesh, P())
+
+    def pick(t, f):
+        return t if t != repl else f
+
+    return jax.tree_util.tree_map(
+        pick, tp, fsdp,
+        is_leaf=lambda x: isinstance(x, NamedSharding) or x is None,
     )

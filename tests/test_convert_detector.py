@@ -127,12 +127,13 @@ def test_detector_warm_start_forward():
         partial["verb_tgt_embed"], partial["tgt_embed"]
     )
     # both decoders carry the duplicated detector decoder + box heads
+    # (scanned `layers` layout: stacked on a leading dec_layers axis)
     for decname in ("ho_decoder", "verb_decoder"):
-        assert "layer_0" in partial[decname]
-        assert "sub_bbox_embed_0" in partial[decname]
+        assert "layer" in partial[decname]["layers"]
+        assert "sub_bbox_embed" in partial[decname]["layers"]
         np.testing.assert_array_equal(
-            partial[decname]["sub_bbox_embed_0"]["layers_2"]["kernel"],
-            partial[decname]["obj_bbox_embed_0"]["layers_2"]["kernel"],
+            partial[decname]["layers"]["sub_bbox_embed"]["layers_2"]["kernel"],
+            partial[decname]["layers"]["obj_bbox_embed"]["layers_2"]["kernel"],
         )
 
     model = RLIPParSeDA(cfg)
@@ -206,8 +207,8 @@ def test_ddetr_detector_warm_start_forward():
         partial["sub_bbox_embed_0"]["layers_0"]["kernel"],
         partial["obj_bbox_embed_0"]["layers_0"]["kernel"],
     )
-    assert "layer_0" in partial["ho_decoder_nd"]
-    assert "layer_0" in partial["verb_decoder_nd"]
+    assert "layer" in partial["ho_decoder_nd"]["layers"]
+    assert "layer" in partial["verb_decoder_nd"]["layers"]
 
     model = RLIPParSeD(cfg)
     B, H, W = 1, 64, 64

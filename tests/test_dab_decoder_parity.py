@@ -16,7 +16,14 @@ import jax.numpy as jnp  # noqa: E402
 import ref_import  # noqa: E402
 
 from rlipv2_tpu.config import TransformerConfig
-from rlipv2_tpu.engine.convert import _layernorm, _linear, _mha, _mlp, _msda
+from rlipv2_tpu.engine.convert import (
+    _layernorm,
+    _linear,
+    _mha,
+    _mlp,
+    _msda,
+    group_dab_decoder_layers,
+)
 from rlipv2_tpu.models.dab_decoder import DABHOIDecoder
 
 SHAPES = ((6, 8), (3, 4), (2, 2), (1, 1))
@@ -61,7 +68,7 @@ def convert_decoder(sd, refine=True):
         for l in range(NL):
             params[f"sub_bbox_embed_{l}"] = _mlp(sd, f"sub_bbox_embed.{l}", 3)
             params[f"obj_bbox_embed_{l}"] = _mlp(sd, f"obj_bbox_embed.{l}", 3)
-    return params
+    return group_dab_decoder_layers(params, NL)
 
 
 def make_inputs(seed=0, n_pairs=6):
