@@ -124,6 +124,10 @@ def get_parser():
                    help="MSDA kernel implementation; pallas_int8 is the "
                         "quantized inference fast path (~1.3x, <~1% rel. "
                         "error, forward-only — eval use)")
+    p.add_argument("--int8_dense", action="store_true",
+                   help="W8A8 dynamic-quantized dense stacks (Swin "
+                        "qkv/proj/MLP, FFNs, BiMHA + MSDA projections; "
+                        "ops/int8_dense.py) — inference-only opt-in")
     return p
 
 
@@ -175,6 +179,14 @@ def build_everything(args):
         cfg = _dc.replace(
             cfg,
             transformer=_dc.replace(cfg.transformer, msda_impl=impl),
+        )
+    if args.int8_dense:
+        # inference-only: the quantized matmul has no useful gradient
+        assert args.eval, "--int8_dense is an eval-only fast path"
+        cfg = _dc.replace(
+            cfg,
+            backbone=_dc.replace(cfg.backbone, int8_dense=True),
+            transformer=_dc.replace(cfg.transformer, int8_dense=True),
         )
     regime = None
     if args.frozen_vision:

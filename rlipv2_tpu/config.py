@@ -20,6 +20,11 @@ class BackboneConfig:
     frozen_stages: int = 1  # resnet: freeze stem (+stage1) like DETR's lr=0 trick
     drop_path_rate: float = 0.0  # swin only
     use_checkpoint: bool = False  # remat swin blocks
+    # W8A8 dynamic-quantized projections (ops/int8_dense.py) for the Swin
+    # qkv/proj/MLP matmuls — INFERENCE-ONLY opt-in (the int8 matmul has no
+    # useful gradient); ~2x MXU rate where the blocks are matmul-bound
+    # (Swin-L stage 3, SURVEY §6)
+    int8_dense: bool = False
 
 
 @dataclass(frozen=True)
@@ -75,6 +80,10 @@ class TransformerConfig:
     # SURVEY §6) | pallas_int8 (opt-in quantized inference fast path,
     # ~1.3x, <~1% rel. error, fwd-only)
     msda_impl: str = "auto"
+    # W8A8 dynamic-quantized dense stacks (ops/int8_dense.py): encoder /
+    # decoder FFNs, MSDA value/output projections, BiMHA projections.
+    # INFERENCE-ONLY opt-in, same contract as backbone.int8_dense.
+    int8_dense: bool = False
     fusion: FusionConfig = field(default_factory=FusionConfig)
 
 

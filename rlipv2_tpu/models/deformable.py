@@ -33,6 +33,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from rlipv2_tpu.config import TextEncoderConfig, TransformerConfig
 from rlipv2_tpu.models.fusion import BiAttentionBlock
+from rlipv2_tpu.ops.int8_dense import dense
 from rlipv2_tpu.models.layers import MSDeformAttention
 from rlipv2_tpu.models.roberta import RobertaLayer, alif_additive_bool_mask
 
@@ -94,6 +95,7 @@ class DeformableEncoderLayer(nn.Module):
             n_points=c.enc_n_points,
             dtype=self.dtype,
             impl=c.msda_impl,
+            int8_dense=c.int8_dense,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, valid_mask)
         # tag for the selective remat policy (save_only_these_names in
@@ -105,9 +107,14 @@ class DeformableEncoderLayer(nn.Module):
         src = src + nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
 
-        ff = nn.Dense(c.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        ff = dense(
+            c.dim_feedforward, int8=c.int8_dense, dtype=self.dtype,
+            name="linear1",
+        )(src)
         ff = nn.Dropout(c.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(c.hidden_dim, dtype=self.dtype, name="linear2")(ff)
+        ff = dense(
+            c.hidden_dim, int8=c.int8_dense, dtype=self.dtype, name="linear2"
+        )(ff)
         src = src + nn.Dropout(c.dropout)(ff, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
         if self.scan_mode:
@@ -193,6 +200,7 @@ class ALIFBlock(nn.Module):
             l_dim=self.text_cfg.hidden_size,
             num_feature_levels=c.num_feature_levels,
             dtype=self.dtype,
+            int8_dense=c.int8_dense,
             name="vl_fuse",
         )
         if f.use_checkpoint_fusion:

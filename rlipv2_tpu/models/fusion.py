@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from rlipv2_tpu.config import FusionConfig
 from rlipv2_tpu.models.layers import MultiBranchFusion
+from rlipv2_tpu.ops.int8_dense import dense
 
 MASK_NEG = -9e15
 
@@ -43,6 +44,9 @@ class BiMultiHeadAttention(nn.Module):
     clamp_min_for_underflow: bool = True
     clamp_max_for_overflow: bool = True
     dtype: jnp.dtype = jnp.float32
+    # W8A8 projections (ops/int8_dense.py), eval-only; the 2048-wide
+    # value/out projections over ~1e5 visual tokens are MXU-bound
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(
@@ -61,10 +65,11 @@ class BiMultiHeadAttention(nn.Module):
         scale = hd ** -0.5
 
         q_in = v if v_pos is None else v + v_pos
-        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(q_in) * scale
-        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")(l)
-        val_v = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(v)
-        val_l = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_l_proj")(l)
+        i8 = self.int8_dense
+        q = dense(self.embed_dim, int8=i8, dtype=self.dtype, name="v_proj")(q_in) * scale
+        k = dense(self.embed_dim, int8=i8, dtype=self.dtype, name="l_proj")(l)
+        val_v = dense(self.embed_dim, int8=i8, dtype=self.dtype, name="values_v_proj")(v)
+        val_l = dense(self.embed_dim, int8=i8, dtype=self.dtype, name="values_l_proj")(l)
 
         def heads(x, n):
             return x.reshape(B, n, H, hd)
@@ -110,8 +115,8 @@ class BiMultiHeadAttention(nn.Module):
         out_l = jnp.einsum("bhlv,bvhd->blhd", attn_l, heads(val_v, Nv)).reshape(
             B, Nl, self.embed_dim
         )
-        out_v = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")(out_v)
-        out_l = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")(out_l)
+        out_v = dense(self.v_dim, int8=i8, dtype=self.dtype, name="out_v_proj")(out_v)
+        out_l = dense(self.l_dim, int8=i8, dtype=self.dtype, name="out_l_proj")(out_l)
         return out_v, out_l
 
 
@@ -123,6 +128,7 @@ class BiAttentionBlock(nn.Module):
     l_dim: int = 768
     num_feature_levels: int = 4
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False  # threaded into BiMHA (eval-only W8A8)
 
     @nn.compact
     def __call__(self, v, l, v_pos=None, mask_l=None, mask_v=None, deterministic=True):
@@ -140,6 +146,7 @@ class BiAttentionBlock(nn.Module):
             clamp_min_for_underflow=c.clamp_min_for_underflow,
             clamp_max_for_overflow=c.clamp_max_for_overflow,
             dtype=self.dtype,
+            int8_dense=self.int8_dense,
             name="attn",
         )(v, l, v_pos, mask_l, mask_v, deterministic)
 

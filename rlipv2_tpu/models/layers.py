@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from rlipv2_tpu.ops.int8_dense import dense
 from rlipv2_tpu.ops.ms_deform_attn import ms_deform_attn
 
 
@@ -134,6 +135,9 @@ class MSDeformAttention(nn.Module):
     # pallas_int8 is the opt-in quantized inference fast path (<~1%
     # relative error, forward-only)
     impl: str = "auto"
+    # W8A8 value/output projections (ops/int8_dense.py), eval-only; the
+    # offsets/weights heads stay fp (zero-init kernels, precision-critical)
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(
@@ -149,7 +153,10 @@ class MSDeformAttention(nn.Module):
         H, L, P = self.n_heads, self.n_levels, self.n_points
         head_dim = self.d_model // H
 
-        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(value_flatten)
+        value = dense(
+            self.d_model, int8=self.int8_dense, dtype=self.dtype,
+            name="value_proj",
+        )(value_flatten)
         if valid_mask is not None:
             value = jnp.where(valid_mask[..., None], value, 0)
         value = value.reshape(B, S, H, head_dim)
@@ -189,4 +196,7 @@ class MSDeformAttention(nn.Module):
         out = ms_deform_attn(
             value, tuple(spatial_shapes), locations, attn, impl=self.impl
         )
-        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+        return dense(
+            self.d_model, int8=self.int8_dense, dtype=self.dtype,
+            name="output_proj",
+        )(out)

@@ -179,6 +179,7 @@ class VanillaALIFEncoder(nn.Module):
                     l_dim=c.text_encoder.hidden_size,
                     num_feature_levels=1,
                     dtype=self.dtype,
+                    int8_dense=t.int8_dense,
                     name=f"vl_fuse_{fusion_idx}",
                 )(out, lang, pos, lang_valid, valid, deterministic)
                 lang = RobertaLayer(
@@ -220,7 +221,8 @@ class RLIPParSe(nn.Module):
             from rlipv2_tpu.models.swin import SwinTransformer
 
             self.backbone = SwinTransformer.from_name(
-                c.backbone.name, drop_path_rate=c.backbone.drop_path_rate, dtype=dt
+                c.backbone.name, drop_path_rate=c.backbone.drop_path_rate,
+                dtype=dt, int8_dense=c.backbone.int8_dense,
             )
         self.text_encoder = RobertaModel(c.text_encoder, dtype=dt)
         self.input_proj = nn.Dense(t.hidden_dim, dtype=dt, name="input_proj")
@@ -398,7 +400,8 @@ class RLIPParSeV2(nn.Module):
             from rlipv2_tpu.models.swin import SwinTransformer
 
             self.backbone = SwinTransformer.from_name(
-                c.backbone.name, drop_path_rate=c.backbone.drop_path_rate, dtype=dt
+                c.backbone.name, drop_path_rate=c.backbone.drop_path_rate,
+                dtype=dt, int8_dense=c.backbone.int8_dense,
             )
         self.text_encoder = RobertaModel(c.text_encoder, dtype=dt)
         self.input_proj = nn.Dense(t.hidden_dim, dtype=dt, name="input_proj")

@@ -118,6 +118,7 @@ class RLIPParSeDA(nn.Module):
                 c.backbone.name,
                 drop_path_rate=c.backbone.drop_path_rate,
                 dtype=dt,
+                int8_dense=c.backbone.int8_dense,
             )
 
         self.text_encoder = RobertaModel(c.text_encoder, dtype=dt)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rlipv2_tpu.ops.int8_dense import dense
+
 
 @dataclasses.dataclass(frozen=True)
 class SwinSpec:
@@ -92,6 +94,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False  # W8A8 qkv/proj (ops/int8_dense.py), eval-only
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -99,7 +102,9 @@ class WindowAttention(nn.Module):
         Bn, N, C = x.shape
         h = self.num_heads
         hd = C // h
-        qkv_flat = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv_flat = dense(
+            3 * C, int8=self.int8_dense, dtype=self.dtype, name="qkv"
+        )(x)
 
         table = self.param(
             "relative_position_bias_table",
@@ -136,7 +141,9 @@ class WindowAttention(nn.Module):
                 h,
                 group,
             ).astype(self.dtype)
-            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            return dense(
+                C, int8=self.int8_dense, dtype=self.dtype, name="proj"
+            )(out)
 
         qkv = qkv_flat.reshape(Bn, N, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -150,7 +157,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(Bn, h, N, N)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return dense(
+            C, int8=self.int8_dense, dtype=self.dtype, name="proj"
+        )(out)
 
 
 class DropPath(nn.Module):
@@ -175,6 +184,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False  # W8A8 qkv/proj/MLP matmuls, eval-only
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -192,7 +202,8 @@ class SwinBlock(nn.Module):
             mask = None
         wins = window_partition(y, ws).reshape(-1, ws * ws, C)
         wins = WindowAttention(
-            self.dim, self.num_heads, ws, self.dtype, name="attn"
+            self.dim, self.num_heads, ws, self.dtype,
+            int8_dense=self.int8_dense, name="attn",
         )(wins, mask, deterministic)
         y = window_reverse(wins.reshape(-1, ws, ws, C), ws, H, W)
         if shift > 0:
@@ -200,9 +211,12 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = dense(
+            int(C * self.mlp_ratio), int8=self.int8_dense,
+            dtype=self.dtype, name="mlp_fc1",
+        )(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        y = dense(C, int8=self.int8_dense, dtype=self.dtype, name="mlp_fc2")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 
@@ -231,15 +245,17 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.0
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False  # W8A8 qkv/proj/MLP matmuls, eval-only
 
     @classmethod
     def from_name(cls, name: str, drop_path_rate: float = 0.0, dtype=jnp.float32,
-                  use_checkpoint: bool = False):
+                  use_checkpoint: bool = False, int8_dense: bool = False):
         return cls(
             SWIN_SPECS[name],
             drop_path_rate=drop_path_rate,
             dtype=dtype,
             use_checkpoint=use_checkpoint,
+            int8_dense=int8_dense,
         )
 
     @nn.compact
@@ -271,6 +287,7 @@ class SwinTransformer(nn.Module):
                     shift=0 if d % 2 == 0 else ws // 2,
                     drop_path=float(dpr[block_i]),
                     dtype=self.dtype,
+                    int8_dense=self.int8_dense,
                     name=f"stage{stage}_block{d}",
                 )
                 if self.use_checkpoint:
