@@ -223,7 +223,21 @@ def main(argv=None):
     c.add_argument("--ref", required=True)
     c.add_argument("--box_tol", type=float, default=0.5)
     c.add_argument("--score_tol", type=float, default=1e-3)
+    k = sub.add_parser(
+        "pack",
+        help="check the committed torch-oracle golden pack (no torch / "
+             "reference needed; tools/make_golden_pack.py regenerates it)",
+    )
+    k.add_argument("--pack", default=None)
+    k.add_argument("--atol", type=float, default=2e-3)
     args = p.parse_args(argv)
+
+    if args.cmd == "pack":
+        from rlipv2_tpu.tools.golden_pack import PACK_PATH, check_pack
+
+        report = check_pack(args.pack or PACK_PATH, atol=args.atol)
+        print("GOLDEN PACK PASS", {k: f"{v:.2e}" for k, v in report.items()})
+        return
 
     if args.cmd == "compare":
         report = compare_dumps(
