@@ -200,6 +200,15 @@ def main():
         cfg, transformer=_dc.replace(cfg.transformer, msda_impl="pallas_int8")
     )
     i8_model = RLIPParSeDA(i8_cfg)
+    # full-int8 inference config: int8 MSDA + W8A8 dense stacks (Swin/FFN/
+    # BiMHA/MSDA projections, ops/int8_dense.py) — the round-5 lever named
+    # by the measured Swin-L/train-step bounds (SURVEY §6)
+    i8d_cfg = _dc.replace(
+        i8_cfg,
+        backbone=_dc.replace(cfg.backbone, int8_dense=True),
+        transformer=_dc.replace(i8_cfg.transformer, int8_dense=True),
+    )
+    i8d_model = RLIPParSeDA(i8d_cfg)
 
     def make_fwd(m, bh, bw, bb):
         f = jax.jit(
@@ -229,8 +238,9 @@ def main():
     record = {
         "metric": (
             f"RLIP-ParSeDA-R50 batched inference ({H}x{W}, bs{BATCH}, "
-            "bf16, int8 MSDA eval default [< 0.1 mAP pts, "
-            "tests/test_int8_metric.py], random weights)"
+            "bf16, int8 MSDA eval default [tiny-config gate "
+            "tests/test_int8_metric.py; flagship-dims measured delta "
+            "printed in int8_map_delta_points], random weights)"
         ),
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
@@ -365,6 +375,71 @@ def main():
             print(f"exact bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # int8-dense throughput at the primary shape (dense stacks + MSDA both
+    # int8): the dense-matmul quantization lever, measured
+    if _budget_ok("int8 dense"):
+        try:
+            fwd8d = jax.jit(
+                lambda p, px, v, te, tv: jnp.sum(
+                    i8d_model.apply(p, px, v, te, tv, cfg.max_obj_texts)[
+                        "pred_verb_logits"
+                    ].astype(jnp.float32)
+                )
+            )
+            dt8d = marginal_time(
+                fwd8d, params, pixels, valid, text_emb, text_valid
+            )
+            record["int8_dense_imgs_per_sec"] = round(BATCH / dt8d, 2)
+            _emit(record)
+        except Exception as e:
+            print(f"int8-dense bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # MEASURED metric delta AT FLAGSHIP DIMS (VERDICT r4 next #3): the
+    # canned-GT mAP protocol (eval/int8_gate.py, same as the CPU tests)
+    # on-chip, exact vs the full int8 path (MSDA + dense), bs8 832x1344,
+    # random weights. Printed in-band so the eval-default claim carries
+    # its own evidence at the shapes the claim is about.
+    if _budget_ok("int8 metric gate"):
+        try:
+            from rlipv2_tpu.eval.int8_gate import map_delta_points
+            from rlipv2_tpu.eval.postprocess import (
+                postprocess_hoi,
+                to_image_results,
+            )
+
+            osz = jnp.tile(
+                jnp.asarray([[800.0, 1292.0]], jnp.float32), (BATCH, 1)
+            )
+
+            def results_of(m):
+                f = jax.jit(
+                    lambda p, px, v, te, tv, sz: postprocess_hoi(
+                        m.apply(p, px, v, te, tv, cfg.max_obj_texts), sz
+                    )
+                )
+                post = jax.device_get(
+                    f(params, pixels, valid, text_emb, text_valid, osz)
+                )
+                return to_image_results(
+                    jax.tree_util.tree_map(np.asarray, post)
+                )
+
+            delta, m_e, m_q = map_delta_points(
+                results_of(model), results_of(i8d_model),
+                cfg.max_verb_texts, cfg.max_obj_texts,
+            )
+            record["int8_map_delta_points"] = round(delta, 4)
+            record["int8_map_delta_note"] = (
+                f"measured at flagship dims ({H}x{W} bs{BATCH}, random "
+                f"weights, canned-GT protocol eval/int8_gate.py): exact "
+                f"{m_e * 100:.2f} vs int8 MSDA+dense {m_q * 100:.2f}"
+            )
+            _emit(record)
+        except Exception as e:
+            print(f"int8 metric gate failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # ----- OPTIONAL EXTRAS: each budget-guarded; cumulative re-print after
     # each so the last JSON line is always the most complete record -----
 
@@ -471,6 +546,35 @@ def main():
             )
             record["swin_l_imgs_per_sec"] = round(BATCH / dt_swin, 2)
             _emit(record)
+
+            # the decisive Swin-L lever (SURVEY §6: stage-3 matmuls at 64%
+            # MFU): W8A8 projections via --int8_dense
+            if _budget_ok("swin-l int8 dense"):
+                swin8_cfg = _dc.replace(
+                    swin_cfg,
+                    backbone=_dc.replace(
+                        swin_cfg.backbone, int8_dense=True
+                    ),
+                    transformer=_dc.replace(
+                        swin_cfg.transformer, int8_dense=True
+                    ),
+                )
+                swin8_model = RLIPParSeDA(swin8_cfg)
+                swin8_fwd = jax.jit(
+                    lambda p, px, v, te, tv: jnp.sum(
+                        swin8_model.apply(
+                            p, px, v, te, tv, cfg.max_obj_texts
+                        )["pred_verb_logits"].astype(jnp.float32)
+                    )
+                )
+                dt_swin8 = marginal_time(
+                    swin8_fwd, swin_params, pixels, valid, text_emb,
+                    text_valid, n=3,
+                )
+                record["swin_l_int8_dense_imgs_per_sec"] = round(
+                    BATCH / dt_swin8, 2
+                )
+                _emit(record)
         except Exception as e:
             print(f"swin-l bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)

@@ -75,6 +75,13 @@ class TransformerConfig:
     # equivalent of the reference's --use_checkpoint family; required to
     # fit bs8 832x1344 training in 16 GB HBM)
     remat_encoder: bool = False
+    # which tagged intermediates the remat policy saves
+    # (jax.checkpoint_policies.save_only_these_names). Tags available:
+    # "msda_out" (the deformable-attention output, ~8x the rest of the
+    # layer to recompute), "msda_value" (the value projection feeding the
+    # kernel), "enc_ffn_out" (the FFN branch output). Default measured in
+    # tools/profile_train.py (SURVEY §6 remat-policy A/B).
+    remat_save_names: tuple = ("msda_out",)
     # MSDA kernel implementation: auto | pallas | pallas_v5 (sub-slab
     # split + strip permutation; exact, measured slower than v4 — see
     # SURVEY §6) | pallas_int8 (opt-in quantized inference fast path,

@@ -115,6 +115,8 @@ class DeformableEncoderLayer(nn.Module):
         ff = dense(
             c.hidden_dim, int8=c.int8_dense, dtype=self.dtype, name="linear2"
         )(ff)
+        # optional remat-policy tag (cfg.remat_save_names A/B)
+        ff = checkpoint_name(ff, "enc_ffn_out")
         src = src + nn.Dropout(c.dropout)(ff, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
         if self.scan_mode:
@@ -230,7 +232,7 @@ class ALIFBlock(nn.Module):
                     type(layer).__call__,
                     static_argnums=(4, 6),  # spatial_shapes, deterministic
                     policy=jax.checkpoint_policies.save_only_these_names(
-                        "msda_out"
+                        *c.remat_save_names
                     ),
                 )(layer, out, pos, refs, spatial_shapes, valid_mask,
                   deterministic)

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from rlipv2_tpu.ops.int8_dense import dense
 from rlipv2_tpu.ops.ms_deform_attn import ms_deform_attn
 
@@ -157,6 +159,9 @@ class MSDeformAttention(nn.Module):
             self.d_model, int8=self.int8_dense, dtype=self.dtype,
             name="value_proj",
         )(value_flatten)
+        # optional remat-policy tag (cfg.remat_save_names A/B): saving the
+        # value projection skips its recompute in the backward
+        value = checkpoint_name(value, "msda_value")
         if valid_mask is not None:
             value = jnp.where(valid_mask[..., None], value, 0)
         value = value.reshape(B, S, H, head_dim)

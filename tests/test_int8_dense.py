@@ -101,9 +101,9 @@ def test_int8_dense_model_map_delta():
     """Full flagship-structure model (tiny dims), exact vs int8 dense
     stacks: same canned-GT mAP protocol as test_int8_metric.py, delta
     < 0.1 points on the reference 0-100 scale."""
+    from rlipv2_tpu.eval.int8_gate import map_delta_points
     from rlipv2_tpu.eval.postprocess import postprocess_hoi, to_image_results
     from rlipv2_tpu.models.parseda import RLIPParSeDA, init_model_params
-    from tests.test_int8_metric import _map_from
 
     B, H, W = 2, 64, 64
     rng = np.random.RandomState(0)
@@ -139,52 +139,13 @@ def test_int8_dense_model_map_delta():
     res_int8 = to_image_results(postprocess_hoi(
         jax.tree_util.tree_map(jnp.asarray, out_int8), orig_sizes))
 
-    d = max(
-        float(np.abs(np.asarray(a["verb_scores"])
-                     - np.asarray(b["verb_scores"])).max())
-        for a, b in zip(res_exact, res_int8)
+    # shared canned-GT protocol (eval/int8_gate.py; flagship-dims
+    # measured delta lives in bench.py)
+    delta, m_e, m_8 = map_delta_points(
+        res_exact, res_int8, cfg.max_verb_texts, cfg.max_obj_texts
     )
-    assert d > 0.0, "int8 dense path produced bit-identical outputs"
-
-    # canned-GT fixture from the exact path's own detections (the
-    # de-saturated protocol of test_int8_metric.py)
-    jrng = np.random.RandomState(7)
-    gts = []
-    for r in res_exact:
-        vs = np.asarray(r["verb_scores"])
-        boxes = np.asarray(r["boxes"])
-        labels = np.asarray(r["labels"])
-        top = np.argsort(-vs.max(axis=1))[:4]
-        g_boxes, g_labels, g_hois = [], [], []
-        for q in top:
-            sub_id, obj_id = int(r["sub_ids"][q]), int(r["obj_ids"][q])
-            for b in (boxes[sub_id], boxes[obj_id]):
-                wh2 = np.maximum(b[2:] - b[:2], 1.0)
-                jit = jrng.uniform(-0.08, 0.08, 4) * np.concatenate([wh2, wh2])
-                g_boxes.append(b + jit.astype(np.float32))
-            g_labels.extend([int(labels[sub_id]), int(labels[obj_id])])
-            k = len(g_boxes)
-            g_hois.append([k - 2, k - 1, int(vs[q].argmax())])
-        g_boxes.extend([
-            np.asarray([900.0, 900.0, 910.0, 910.0], np.float32),
-            np.asarray([920.0, 920.0, 930.0, 930.0], np.float32),
-        ])
-        g_labels.extend([int(labels[0]), int(labels[1])])
-        k = len(g_boxes)
-        g_hois.append([k - 2, k - 1, int(g_hois[0][2])])
-        gts.append({
-            "filename": "synthetic",
-            "boxes": np.asarray(g_boxes, np.float32),
-            "labels": np.asarray(g_labels, np.int64),
-            "hois": np.asarray(g_hois, np.int64),
-        })
-
-    correct_mat = np.ones((cfg.max_verb_texts, cfg.max_obj_texts), np.float32)
-    m_e = _map_from(res_exact, gts, correct_mat)["mAP"]
-    m_8 = _map_from(res_int8, gts, correct_mat)["mAP"]
-    assert 0.05 < m_e < 0.999, f"degenerate fixture: exact mAP {m_e}"
-    assert abs(m_e - m_8) < 0.001, (
-        f"int8-dense mAP delta {abs(m_e - m_8) * 100:.3f} points "
+    assert delta < 0.1, (
+        f"int8-dense mAP delta {delta:.3f} points "
         f"(exact {m_e * 100:.2f}, int8 {m_8 * 100:.2f})"
     )
 

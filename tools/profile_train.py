@@ -159,6 +159,69 @@ def main():
     leg("fwd+bwd model (no remat)", param_bwd(model_with(False)),
         params, pixels, valid, text_emb, text_valid, n=3)
 
+    # 2b. RESIDUAL ATTRIBUTION (VERDICT r4 next #5): grad wrt a param
+    # SUBSET — XLA DCEs the excluded subtrees' dW chains (and, for the
+    # graph-input-side backbone, its whole backward). The marginal vs the
+    # full remat step attributes the residual per submodule. Note the
+    # semantics: excluding an input-side module (backbone) removes its
+    # full backward; excluding a mid-graph module (fusion, decoders)
+    # removes only its dW computation — activation grads still chain
+    # through it.
+    def param_bwd_subset(m, exclude):
+        """grad wrt params minus subtrees whose top-level key contains any
+        of `exclude`; excluded params enter via closure (constants)."""
+
+        def split(p):
+            sub = {k: v for k, v in p["params"].items()
+                   if not any(e in k for e in exclude)}
+            rest = {k: v for k, v in p["params"].items()
+                    if any(e in k for e in exclude)}
+            return sub, rest
+
+        def f(p, px, v, te, tv):
+            sub, rest = split(p)
+
+            def loss(sub_p):
+                merged = {"params": {**sub_p, **rest}}
+                out = m.apply(merged, px, v, te, tv, cfg.max_obj_texts)
+                return jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b.astype(jnp.float32)), out, 0.0
+                )
+
+            return jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+                jax.grad(loss)(sub), 0.0,
+            )
+
+        return jax.jit(f)
+
+    remat_model = model_with(True)
+    for label, exclude in (
+        ("bwd minus backbone", ("backbone",)),
+        ("bwd minus encoder", ("encoder",)),
+        ("bwd minus decoders+heads", (
+            "ho_decoder", "verb_decoder", "verb_tgt_generator",
+            "projection_text", "coord_proj",
+        )),
+        ("bwd minus input projs", ("input_proj",)),
+    ):
+        leg(label, param_bwd_subset(remat_model, exclude),
+            params, pixels, valid, text_emb, text_valid, n=3)
+
+    # 2c. REMAT-POLICY A/B (VERDICT r4 next #5): what the encoder remat
+    # saves vs recomputes. Policies beyond the default trade HBM for
+    # skipped recompute; OOM legs are skipped and reported.
+    for label, names in (
+        ("remat policy +msda_value", ("msda_out", "msda_value")),
+        ("remat policy +enc_ffn_out", ("msda_out", "enc_ffn_out")),
+    ):
+        tcfg_p = _dc.replace(
+            cfg.transformer, remat_encoder=True, remat_save_names=names
+        )
+        m_p = RLIPParSeDA(_dc.replace(cfg, transformer=tcfg_p))
+        leg(label, param_bwd(m_p),
+            params, pixels, valid, text_emb, text_valid, n=3)
+
     # 3b. same step with the PROFILING-ONLY zero-backward MSDA: the delta
     # vs leg 2 is the total in-model MSDA-backward cost (kernel + dloc /
     # dattn chain), cleanly separated from every other bwd
