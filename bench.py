@@ -642,7 +642,11 @@ def _bench_loader(train: bool = True) -> float:
     # production path (the dataset default): uint8 end-to-end on host,
     # normalization fused into the device step (models/layers.
     # normalize_pixels)
-    tfm = HOITransform(train=train, normalize=False)
+    import random as _random
+
+    # seeded: the train transform's random scale/crop otherwise makes the
+    # leg non-reproducible run to run
+    tfm = HOITransform(train=train, normalize=False, rng=_random.Random(0))
     M, V = 24, 117
     n_batches, done = 6, 0
     t0 = time.perf_counter()

@@ -23,6 +23,12 @@ DEFAULT_BUCKETS = (
     (832, 1344),  # covers short 800 / long <= 1333
     (1344, 832),
     (1088, 1088),
+    # batch envelope cover-all: hmax/wmax are taken ACROSS the batch, so a
+    # tall portrait + a wide landscape can combine to up to (1344, 1344)
+    # even though no single image exceeds (1344, 832)/(832, 1344). Without
+    # this row such a batch hit the largest-area fallback (1088, 1088) and
+    # failed the containment assert (seen in the r5 loader bench).
+    (1344, 1344),
 )
 
 
