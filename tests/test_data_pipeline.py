@@ -161,7 +161,13 @@ def test_build_train_batch_and_model_step(synth_hico):
 def test_pick_bucket():
     assert pick_bucket(500, 500) == (512, 512)
     assert pick_bucket(700, 1100) == (832, 1344)
-    assert pick_bucket(2000, 2000) == (1088, 1088)  # fallback largest by area
+    assert pick_bucket(2000, 2000) == (1344, 1344)  # fallback largest by area
+    # batch envelope of a tall portrait + a wide landscape: hmax/wmax
+    # combine to a shape no single-image bucket contains — must land in
+    # the cover-all row, not the old (1088, 1088) fallback whose
+    # containment assert fired (r5 loader-bench regression)
+    assert pick_bucket(1096, 800) == (1344, 832)
+    assert pick_bucket(1096, 1024) == (1344, 1344)
 
 
 def test_normalize_boxes_roundtrip():
