@@ -5,10 +5,22 @@ projections).
 Motivation (SURVEY §6, measured on a real v5e chip): the exact MSDA
 kernel's ~35 img/s formulation ceiling and Swin-L's stage-3 matmuls at
 64% MFU mean the remaining model-level speed levers are quantization and
-resolution shaping, not more attention kernels. The MXU runs
-int8 x int8 -> int32 at ~2x the bf16 rate on v5e (393.7 vs 196.9 TOPS),
-so int8-ing the projection/FFN matmuls roughly halves their time where
-they are MXU-bound (Swin-L stage 3; the flagship FFNs).
+resolution shaping, not more attention kernels. The MXU's nominal int8
+rate is ~2x bf16 on v5e (393.7 vs 196.9 TOPS).
+
+MEASURED VERDICT (round 5, real v5e chip — built, measured, rejected as
+a speed default, mirroring the v5-tiling and fused-backward outcomes in
+SURVEY §6): at the Swin-L stage-3 shape (37632x768 @ 768x3072) the
+XLA int8 dot is only 1.13x the bf16 dot (0.557 vs 0.631 ms — the
+compiler does not reach the 2x int8 MXU rate at these dims), and the
+full dynamic-quant path (this module) measures 0.925 ms — SLOWER than
+plain bf16, because the per-call quantize/rescale passes exceed the
+~12% dot saving. A Pallas A/B (naive tiled matmul, same shape) shows
+int8 1.44x over bf16 *within* the kernel but both far behind XLA's
+scheduled matmul. Model level (BENCH r5): R50 int8-dense 29.9 vs 33.0
+img/s; Swin-L int8-dense 13.4 vs 15.1. The path is therefore an
+OPT-IN CAPABILITY, never a default; the bench legs remain as the
+standing evidence.
 
 Scheme (standard W8A8 dynamic quantization):
   * weights: symmetric per-OUTPUT-channel max-abs scales, quantized to
