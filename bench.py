@@ -193,9 +193,11 @@ def main():
 
     import dataclasses as _dc
 
-    # PRIMARY uses the int8 MSDA eval default (matches `--eval`, cli.py):
-    # error bounded at the metric level (< 0.1 mAP points end-to-end,
-    # tests/test_int8_metric.py) on top of the ~1% tensor bound.
+    # int8 MSDA: DEMOTED from primary/eval default in round 5 — the
+    # flagship-dims metric gate below measured a ~25-point canned-GT mAP
+    # delta (int8_msda_map_delta_points) where the exact v4-vs-v5 control
+    # is bit-identical. Kept as measured secondary legs; strictly opt-in
+    # in the CLI (--msda_impl pallas_int8).
     i8_cfg = _dc.replace(
         cfg, transformer=_dc.replace(cfg.transformer, msda_impl="pallas_int8")
     )
@@ -229,18 +231,18 @@ def main():
         px, v, te, tv = jax.device_put((px, v, te, tv), dev)
         return f, (px, v, te, tv)
 
-    fwd8, args8 = make_fwd(i8_model, H, W, BATCH)
+    fwd_primary, args8 = make_fwd(model, H, W, BATCH)
 
     # ----- PRIMARY METRIC: measured and printed first, nothing before it -----
-    dt = marginal_time(fwd8, params, *args8)
+    dt = marginal_time(fwd_primary, params, *args8)
     imgs_per_sec = BATCH / dt
 
     record = {
         "metric": (
             f"RLIP-ParSeDA-R50 batched inference ({H}x{W}, bs{BATCH}, "
-            "bf16, int8 MSDA eval default [tiny-config gate "
-            "tests/test_int8_metric.py; flagship-dims measured delta "
-            "printed in int8_map_delta_points], random weights)"
+            "bf16, exact MSDA kernel [the eval default; quantized paths "
+            "are opt-in and metric-gated — see int8_*_delta fields], "
+            "random weights)"
         ),
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
@@ -275,7 +277,7 @@ def main():
                 if (bh, bw) == (H, W):
                     dt_b = dt
                 else:
-                    f_b, a_b = make_fwd(i8_model, bh, bw, BATCH)
+                    f_b, a_b = make_fwd(model, bh, bw, BATCH)
                     dt_b = marginal_time(f_b, params, *a_b)
                 t_img += share * dt_b / BATCH
             record["dist_imgs_per_sec"] = round(1.0 / t_img, 2)
@@ -289,7 +291,7 @@ def main():
     # overhead (SURVEY §6)
     if _budget_ok("bs16"):
         try:
-            f16, a16 = make_fwd(i8_model, 832, 1088, 16)
+            f16, a16 = make_fwd(model, 832, 1088, 16)
             dt16 = marginal_time(f16, params, *a16, n=3)
             record["bs16_832x1088_imgs_per_sec"] = round(16 / dt16, 2)
             _emit(record)
@@ -310,7 +312,7 @@ def main():
                 if (bh, bw) == (832, 1088):
                     dt_b = dt16
                 else:
-                    f_b, a_b = make_fwd(i8_model, bh, bw, 16)
+                    f_b, a_b = make_fwd(model, bh, bw, 16)
                     dt_b = marginal_time(f_b, params, *a_b, n=3)
                 t_img16 += share * dt_b / 16
             record["dist_bs16_imgs_per_sec"] = round(1.0 / t_img16, 2)
@@ -334,7 +336,7 @@ def main():
             )
 
             def fwd_pp(p, px, v, te, tv, sz):
-                out = i8_model.apply(p, px, v, te, tv, cfg.max_obj_texts)
+                out = model.apply(p, px, v, te, tv, cfg.max_obj_texts)
                 res = postprocess_hoi(
                     out, sz,
                     obj_valid=tv[:, : cfg.max_obj_texts],
@@ -356,23 +358,18 @@ def main():
             print(f"e2e-postprocess bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    # exact-kernel reference line at the primary shape
-    fwd = jax.jit(
-        lambda p, px, v, te, tv: jnp.sum(
-            model.apply(p, px, v, te, tv, cfg.max_obj_texts)[
-                "pred_verb_logits"
-            ].astype(jnp.float32)
-        )
-    )
-    if _budget_ok("exact msda"):
+    # int8-MSDA secondary line at the primary shape (the round-4 eval
+    # default, demoted — see the metric-gate fields)
+    if _budget_ok("int8 msda"):
         try:
-            dt_exact = marginal_time(
-                fwd, params, pixels, valid, text_emb, text_valid
+            fwd_i8, _ = make_fwd(i8_model, H, W, BATCH)
+            dt_i8 = marginal_time(
+                fwd_i8, params, pixels, valid, text_emb, text_valid
             )
-            record["exact_msda_imgs_per_sec"] = round(BATCH / dt_exact, 2)
+            record["int8_msda_imgs_per_sec"] = round(BATCH / dt_i8, 2)
             _emit(record)
         except Exception as e:
-            print(f"exact bench failed: {type(e).__name__}: {e}",
+            print(f"int8-msda bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     # int8-dense throughput at the primary shape (dense stacks + MSDA both
@@ -426,42 +423,80 @@ def main():
                 )
 
             res_exact = results_of(model)
+            notes = []
 
-            # CONTROL: two EXACT formulations of the same math (Pallas v4
-            # vs XLA gather, both bit-inexact in bf16 differently). With
-            # RANDOM weights the nq=100 verb scores are near-ties, so any
-            # rounding difference can reshuffle rankings; the control
-            # measures that noise floor. A quantization delta is only
-            # meaningful ABOVE it.
-            xla_cfg = _dc.replace(
-                cfg, transformer=_dc.replace(cfg.transformer, msda_impl="xla")
-            )
-            delta_ctl, _, _ = map_delta_points(
-                res_exact, results_of(RLIPParSeDA(xla_cfg)),
-                cfg.max_verb_texts, cfg.max_obj_texts,
-            )
-            record["int8_map_delta_control_points"] = round(delta_ctl, 4)
+            # SENSITIVITY CONTROL: same exact model, inputs perturbed by
+            # 0.1% relative noise (reuses the compiled forward — no extra
+            # compile). Measures how violently the random-weight canned-GT
+            # protocol reacts to a tensor-level change of the same order
+            # as the int8 paths' ~1% error. (The v4-vs-v5 exact-pair
+            # control is BIT-IDENTICAL — measured — so formulation noise
+            # is zero; this probe bounds perturbation amplification
+            # instead.)
+            try:
+                prng = np.random.RandomState(3)
+                px_pert = pixels * (
+                    1.0 + 1e-3 * jnp.asarray(
+                        prng.randn(*pixels.shape).astype(np.float32)
+                    )
+                )
+                f_full = jax.jit(
+                    lambda p, px, v, te, tv, sz: postprocess_hoi(
+                        model.apply(p, px, v, te, tv, cfg.max_obj_texts), sz
+                    )
+                )
+                post = jax.device_get(
+                    f_full(params, px_pert, valid, text_emb, text_valid, osz)
+                )
+                res_pert = to_image_results(
+                    jax.tree_util.tree_map(np.asarray, post)
+                )
+                delta_ctl, _, _ = map_delta_points(
+                    res_exact, res_pert,
+                    cfg.max_verb_texts, cfg.max_obj_texts,
+                )
+                record["map_delta_sensitivity_points"] = round(delta_ctl, 4)
+                notes.append(
+                    f"0.1%-input-noise sensitivity {delta_ctl:.2f} pts"
+                )
+                _emit(record)
+            except Exception as e:
+                print(f"gate control failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
 
-            delta_m, m_e, m_m = map_delta_points(
-                res_exact, results_of(i8_model),
-                cfg.max_verb_texts, cfg.max_obj_texts,
-            )
-            record["int8_msda_map_delta_points"] = round(delta_m, 4)
+            try:
+                delta_m, m_e, m_m = map_delta_points(
+                    res_exact, results_of(i8_model),
+                    cfg.max_verb_texts, cfg.max_obj_texts,
+                )
+                record["int8_msda_map_delta_points"] = round(delta_m, 4)
+                notes.append(
+                    f"exact {m_e * 100:.2f} vs int8 MSDA {m_m * 100:.2f}"
+                )
+                _emit(record)
+            except Exception as e:
+                print(f"gate msda failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
 
-            delta, _, m_q = map_delta_points(
-                res_exact, results_of(i8d_model),
-                cfg.max_verb_texts, cfg.max_obj_texts,
-            )
-            record["int8_map_delta_points"] = round(delta, 4)
+            try:
+                delta, _, m_q = map_delta_points(
+                    res_exact, results_of(i8d_model),
+                    cfg.max_verb_texts, cfg.max_obj_texts,
+                )
+                record["int8_map_delta_points"] = round(delta, 4)
+                notes.append(f"int8 MSDA+dense {m_q * 100:.2f}")
+                _emit(record)
+            except Exception as e:
+                print(f"gate dense failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
             record["int8_map_delta_note"] = (
                 f"measured at flagship dims ({H}x{W} bs{BATCH}, RANDOM "
-                f"weights, canned-GT protocol eval/int8_gate.py): exact "
-                f"{m_e * 100:.2f}, int8 MSDA {m_m * 100:.2f}, int8 "
-                f"MSDA+dense {m_q * 100:.2f}; control (exact pallas vs "
-                f"exact xla) delta {delta_ctl * 100 / 100:.2f} pts — "
-                f"random-weight scores are near-ties, so deltas near the "
-                f"control are ranking noise, not quantization error; the "
-                f"real-weight gate is tools/golden_check.py"
+                f"weights, canned-GT protocol eval/int8_gate.py): "
+                + "; ".join(notes)
+                + " — random-weight scores are near-ties, so deltas near "
+                "the control are ranking noise, not quantization error; "
+                "the real-weight gate is tools/golden_check.py"
             )
             _emit(record)
         except Exception as e:
@@ -547,12 +582,9 @@ def main():
 
             from rlipv2_tpu.config import BackboneConfig
 
-            # same int8 MSDA eval default as the primary leg (`--eval`
-            # promotes it; metric-bounded in tests/test_int8_metric.py) —
-            # Swin-L is the flagship *accuracy* config, so its eval number
-            # should reflect the eval default too
+            # exact MSDA, matching the round-5 eval default
             swin_cfg = _dc.replace(
-                i8_cfg, backbone=BackboneConfig(name="swin_large", num_outputs=3)
+                cfg, backbone=BackboneConfig(name="swin_large", num_outputs=3)
             )
             swin_model = RLIPParSeDA(swin_cfg)
             swin_params = _materialize_params(

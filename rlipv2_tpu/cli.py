@@ -169,12 +169,15 @@ def build_everything(args):
             transformer=_dc.replace(cfg.transformer, remat_encoder=True),
         )
     impl = args.msda_impl
-    if impl is None and args.eval and jax.default_backend() == "tpu":
-        # eval-only default: the quantized MSDA inference kernel. Its error
-        # is bounded at the METRIC level (< 0.1 mAP points end-to-end,
-        # tests/test_int8_metric.py) on top of the ~1% tensor-level bound
-        # (tests/test_msda_v4.py); training always keeps the exact kernel.
-        impl = "pallas_int8"
+    # Round-5 demotion: pallas_int8 was the --eval default in round 4 on
+    # the strength of a tiny-config random-weight metric gate. The round-5
+    # flagship-dims measurement (bench.py int8_msda_map_delta_points, real
+    # chip) shows a ~25-point canned-GT mAP delta at 832x1344 bs8 random
+    # weights — far beyond the tiny-config bound, while the exact-kernel
+    # v4-vs-v5 control is bit-identical. Until a real-weight golden gate
+    # (tools/golden_check.py) bounds it, the exact kernel is the default
+    # everywhere and the quantized path is strictly opt-in
+    # (--msda_impl pallas_int8).
     if impl:
         cfg = _dc.replace(
             cfg,

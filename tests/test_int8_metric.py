@@ -1,10 +1,13 @@
 """Metric-level error bound for the int8 MSDA inference path.
 
 The int8 kernel's existing contract is tensor-level (~1-2% rel. error,
-tests/test_msda_v4.py). Promoting it to the eval default needs a bound at
-the JUDGED metric: same model, same weights, same images -> PostProcessHOI
--> HICOEvaluator, exact vs int8, assert the mAP delta is < 0.1 points
-(VERDICT r3 next #4). The GT fixture is canned from the exact path's own
+tests/test_msda_v4.py). This gate bounds it at the JUDGED metric: same
+model, same weights, same images -> PostProcessHOI -> HICOEvaluator,
+exact vs int8, mAP delta < 0.1 points (VERDICT r3 next #4) — at a TINY
+config. NOTE (round 5): the same protocol AT FLAGSHIP DIMS on-chip
+measured a ~25-point delta (bench.py int8_msda_map_delta_points), so the
+path was demoted from the eval default; this test remains as the
+tiny-config contract + protocol guard. The GT fixture is canned from the exact path's own
 top detections, so the mAP sits mid-range (neither 0 nor saturated) and a
 score/box perturbation moves it.
 
