@@ -436,41 +436,35 @@ def main():
             res_exact = results_of(model)
             notes = []
 
-            # SENSITIVITY CONTROL: same exact model, inputs perturbed by
-            # 1% relative noise — the same order as the int8 paths'
-            # tensor-level error (reuses the compiled forward — no extra
-            # compile). Measures how violently the random-weight canned-GT
-            # protocol reacts to a 1% change. Two measured anchors: the
-            # v4-vs-v5 exact pair is BIT-IDENTICAL (formulation noise is
-            # zero) and a 0.1% input perturbation is ALSO bit-identical
-            # (below bf16's ~0.8% mantissa step), so anything this probe
-            # reports is genuine 1%-perturbation amplification through
-            # model + protocol.
+            # SENSITIVITY CONTROL (pure protocol, host-side, no device
+            # work): re-rank the SAME exact detections with 1% relative
+            # jitter on the verb scores. With RANDOM weights the scores
+            # sit in a near-tie band around the prior bias, so the
+            # canned-GT mAP can reshuffle violently under small score
+            # perturbations — this probe measures exactly how violently.
+            # An int8 delta is evidence of quantization damage only to the
+            # extent it exceeds this control at the int8 path's own
+            # measured output-perturbation level (reported below as
+            # int8_msda_output_rel_err). Two further measured anchors:
+            # the v4-vs-v5 exact pair is bit-identical, and 0.1%/1% INPUT
+            # noise is absorbed (bf16 rounding + LN attenuation).
             try:
-                prng = np.random.RandomState(3)
-                px_pert = pixels * (
-                    1.0 + 1e-2 * jnp.asarray(
-                        prng.randn(*pixels.shape).astype(np.float32)
-                    )
-                )
-                f_full = jax.jit(
-                    lambda p, px, v, te, tv, sz: postprocess_hoi(
-                        model.apply(p, px, v, te, tv, cfg.max_obj_texts), sz
-                    )
-                )
-                post = jax.device_get(
-                    f_full(params, px_pert, valid, text_emb, text_valid, osz)
-                )
-                res_pert = to_image_results(
-                    jax.tree_util.tree_map(np.asarray, post)
-                )
+                jr = np.random.RandomState(5)
+                res_jit = [
+                    {**r, "verb_scores": np.asarray(r["verb_scores"])
+                     * (1.0 + 0.01 * jr.randn(*np.asarray(
+                         r["verb_scores"]).shape))}
+                    for r in res_exact
+                ]
                 delta_ctl, _, _ = map_delta_points(
-                    res_exact, res_pert,
+                    res_exact, res_jit,
                     cfg.max_verb_texts, cfg.max_obj_texts,
                 )
-                record["map_delta_sensitivity_points"] = round(delta_ctl, 4)
+                record["map_delta_1pct_score_jitter_points"] = round(
+                    delta_ctl, 4
+                )
                 notes.append(
-                    f"1%-input-noise sensitivity {delta_ctl:.2f} pts"
+                    f"1%-score-jitter protocol control {delta_ctl:.2f} pts"
                 )
                 _emit(record)
             except Exception as e:
@@ -478,13 +472,32 @@ def main():
                       file=sys.stderr)
 
             try:
+                res_i8 = results_of(i8_model)
                 delta_m, m_e, m_m = map_delta_points(
-                    res_exact, results_of(i8_model),
+                    res_exact, res_i8,
                     cfg.max_verb_texts, cfg.max_obj_texts,
                 )
                 record["int8_msda_map_delta_points"] = round(delta_m, 4)
+                # the int8 path's OUTPUT-level perturbation: median
+                # relative verb-score delta vs exact — the level at which
+                # the score-jitter control above should be read
+                rels = np.concatenate([
+                    (np.abs(np.asarray(a["verb_scores"], np.float64)
+                            - np.asarray(b["verb_scores"], np.float64))
+                     / np.maximum(np.asarray(a["verb_scores"], np.float64),
+                                  1e-9)).ravel()
+                    for a, b in zip(res_exact, res_i8)
+                ])
+                # median is 0 (bf16 sigmoid rounds most tiny logit
+                # deltas away); p90 captures the perturbed minority that
+                # actually reshuffles the near-tie rankings
+                record["int8_msda_output_rel_err_p90"] = round(
+                    float(np.percentile(rels, 90)), 4
+                )
                 notes.append(
-                    f"exact {m_e * 100:.2f} vs int8 MSDA {m_m * 100:.2f}"
+                    f"exact {m_e * 100:.2f} vs int8 MSDA {m_m * 100:.2f} "
+                    f"(p90 output rel err "
+                    f"{float(np.percentile(rels, 90)) * 100:.1f}%)"
                 )
                 _emit(record)
             except Exception as e:
@@ -507,9 +520,11 @@ def main():
                 f"measured at flagship dims ({H}x{W} bs{BATCH}, RANDOM "
                 f"weights, canned-GT protocol eval/int8_gate.py): "
                 + "; ".join(notes)
-                + " — random-weight scores are near-ties, so deltas near "
-                "the control are ranking noise, not quantization error; "
-                "the real-weight gate is tools/golden_check.py"
+                + " — the 1%-score-jitter control measures ~20 pts, so "
+                "random-weight flagship deltas of this order are "
+                "protocol near-tie noise, neither proving nor clearing "
+                "quantization fidelity; hence the exact kernel stays the "
+                "default and the real-weight gate is tools/golden_check.py"
             )
             _emit(record)
         except Exception as e:
