@@ -91,6 +91,31 @@ def test_hybrid_rules_union_tp_and_fsdp():
     assert n_fsdp_only > 0, "FSDP fallback matched nothing beyond TP"
 
 
+def test_hybrid_handles_ema_state():
+    """EMA params are part of TrainState; the hybrid rule union must
+    produce shardings for them too (regression guard for the tree_map
+    None/is_leaf handling)."""
+    cfg = tiny_config()
+    model = RLIPParSeDA(cfg)
+    batch = make_batch(cfg)
+    params = init_model_params(
+        model, jax.random.PRNGKey(0),
+        batch.pixels[:1], batch.pixel_valid[:1],
+        batch.text_emb[:1], batch.text_valid[:1], cfg.max_obj_texts,
+        jnp.ones((2, 6), jnp.int32), jnp.ones((2, 6), jnp.int32),
+    )
+    state, _ = create_train_state(
+        params, TrainConfig(ema=True), steps_per_epoch=10
+    )
+    mesh = create_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    sh = hybrid_state_sharding(mesh, state, min_size=1 << 10)
+    assert sh.ema_params is not None
+    leaves = jax.tree_util.tree_leaves(
+        sh.ema_params, is_leaf=lambda x: hasattr(x, "spec")
+    )
+    assert leaves and any("model" in (s.spec or ()) for s in leaves)
+
+
 def test_hybrid_step_matches_replicated():
     cfg = tiny_config()
     model = RLIPParSeDA(cfg)
