@@ -11,8 +11,6 @@ models/deformable_transformer.py:927-941 — the reference has no
 quantized path).
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
